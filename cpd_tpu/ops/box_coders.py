@@ -1,0 +1,139 @@
+"""Box encode/decode coders (pure functions, vmappable).
+
+Parity with cpd/utils/box_coder_utils.py: ResidualCoder (:5),
+ResidualCoderV2 (:81), PointResidualCoder (:282). Encoding convention:
+targets = (dx/diag, dy/diag, dz/dza, log ratios, heading residual [+ sin/cos]).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class ResidualCoder:
+    """Anchor-residual coder, code_size 7 (+2 if encode_angle_by_sincos)."""
+
+    def __init__(self, code_size: int = 7, encode_angle_by_sincos: bool = False, **kwargs):
+        self.code_size = code_size
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+        if self.encode_angle_by_sincos:
+            self.code_size += 1
+
+    def encode(self, boxes, anchors):
+        """boxes/anchors: (..., 7 + C) -> (..., code_size)."""
+        dxa = jnp.clip(anchors[..., 3], min=1e-5)
+        dya = jnp.clip(anchors[..., 4], min=1e-5)
+        dza = jnp.clip(anchors[..., 5], min=1e-5)
+        dxg = jnp.clip(boxes[..., 3], min=1e-5)
+        dyg = jnp.clip(boxes[..., 4], min=1e-5)
+        dzg = jnp.clip(boxes[..., 5], min=1e-5)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xt = (boxes[..., 0] - anchors[..., 0]) / diag
+        yt = (boxes[..., 1] - anchors[..., 1]) / diag
+        zt = (boxes[..., 2] - anchors[..., 2]) / dza
+        dxt = jnp.log(dxg / dxa)
+        dyt = jnp.log(dyg / dya)
+        dzt = jnp.log(dzg / dza)
+        if self.encode_angle_by_sincos:
+            rt = [jnp.sin(boxes[..., 6]) * jnp.cos(anchors[..., 6]) - jnp.cos(boxes[..., 6]) * jnp.sin(anchors[..., 6]),
+                  jnp.cos(boxes[..., 6]) * jnp.cos(anchors[..., 6]) + jnp.sin(boxes[..., 6]) * jnp.sin(anchors[..., 6])]
+        else:
+            rt = [boxes[..., 6] - anchors[..., 6]]
+        rest = [boxes[..., 7 + i] - anchors[..., 7 + i] for i in range(boxes.shape[-1] - 7)]
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, *rt, *rest], axis=-1)
+
+    def decode(self, encodings, anchors):
+        """encodings: (..., code_size), anchors: (..., 7 + C) -> (..., 7 + C)."""
+        dxa = jnp.clip(anchors[..., 3], min=1e-5)
+        dya = jnp.clip(anchors[..., 4], min=1e-5)
+        dza = jnp.clip(anchors[..., 5], min=1e-5)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = encodings[..., 0] * diag + anchors[..., 0]
+        yg = encodings[..., 1] * diag + anchors[..., 1]
+        zg = encodings[..., 2] * dza + anchors[..., 2]
+        dxg = jnp.exp(encodings[..., 3]) * dxa
+        dyg = jnp.exp(encodings[..., 4]) * dya
+        dzg = jnp.exp(encodings[..., 5]) * dza
+        if self.encode_angle_by_sincos:
+            rg_sin = encodings[..., 6]
+            rg_cos = encodings[..., 7]
+            rg = jnp.arctan2(rg_sin, rg_cos) + anchors[..., 6]
+            rest_start = 8
+        else:
+            rg = encodings[..., 6] + anchors[..., 6]
+            rest_start = 7
+        rest = [
+            encodings[..., rest_start + i] + anchors[..., 7 + i]
+            for i in range(anchors.shape[-1] - 7)
+        ]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *rest], axis=-1)
+
+
+class ResidualCoderV2(ResidualCoder):
+    """V2: identical residual math but z encoded at box bottom like the reference
+    (box_coder_utils.py:81): z target references the box bottom face."""
+
+    def encode(self, boxes, anchors):
+        boxes = boxes.at[..., 2].add(-boxes[..., 5] / 2)
+        anchors = anchors.at[..., 2].add(-anchors[..., 5] / 2)
+        out = super().encode(boxes, anchors)
+        return out
+
+    def decode(self, encodings, anchors):
+        anchors = anchors.at[..., 2].add(-anchors[..., 5] / 2)
+        out = super().decode(encodings, anchors)
+        return out.at[..., 2].add(out[..., 5] / 2)
+
+
+class PointResidualCoder:
+    """Point-based coder with class-mean sizes (box_coder_utils.py:282)."""
+
+    def __init__(self, code_size: int = 8, use_mean_size: bool = True, mean_size=None, **kwargs):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        if self.use_mean_size:
+            self.mean_size = jnp.asarray(mean_size, dtype=jnp.float32)
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        xg, yg, zg = gt_boxes[..., 0], gt_boxes[..., 1], gt_boxes[..., 2]
+        dxg = jnp.clip(gt_boxes[..., 3], min=1e-5)
+        dyg = jnp.clip(gt_boxes[..., 4], min=1e-5)
+        dzg = jnp.clip(gt_boxes[..., 5], min=1e-5)
+        rg = gt_boxes[..., 6]
+        if self.use_mean_size:
+            pt_size = self.mean_size[gt_classes - 1]
+            dxa, dya, dza = pt_size[..., 0], pt_size[..., 1], pt_size[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt = (xg - points[..., 0]) / diag
+            yt = (yg - points[..., 1]) / diag
+            zt = (zg - points[..., 2]) / dza
+            dxt = jnp.log(dxg / dxa)
+            dyt = jnp.log(dyg / dya)
+            dzt = jnp.log(dzg / dza)
+        else:
+            xt = xg - points[..., 0]
+            yt = yg - points[..., 1]
+            zt = zg - points[..., 2]
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, jnp.cos(rg), jnp.sin(rg)], axis=-1)
+
+    def decode(self, encodings, points, pred_classes=None):
+        xt, yt, zt = encodings[..., 0], encodings[..., 1], encodings[..., 2]
+        dxt, dyt, dzt = encodings[..., 3], encodings[..., 4], encodings[..., 5]
+        cost, sint = encodings[..., 6], encodings[..., 7]
+        if self.use_mean_size:
+            pt_size = self.mean_size[pred_classes - 1]
+            dxa, dya, dza = pt_size[..., 0], pt_size[..., 1], pt_size[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg = xt * diag + points[..., 0]
+            yg = yt * diag + points[..., 1]
+            zg = zt * dza + points[..., 2]
+            dxg = jnp.exp(dxt) * dxa
+            dyg = jnp.exp(dyt) * dya
+            dzg = jnp.exp(dzt) * dza
+        else:
+            xg = xt + points[..., 0]
+            yg = yt + points[..., 1]
+            zg = zt + points[..., 2]
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = jnp.arctan2(sint, cost)
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)

@@ -1,0 +1,164 @@
+"""Rotated BEV / 3D box overlap and IoU in pure JAX.
+
+TPU-native replacement for the reference's ~870-LoC CUDA component
+``cpd/ops/iou3d_nms`` (iou3d_nms_kernel.cu: in-kernel Sutherland-Hodgman
+polygon clipping; iou3d_nms_utils.py:67 ``boxes_iou3d_gpu`` adds z overlap).
+
+Design: instead of sequential polygon clipping, we use the closed-form
+convex-intersection construction that vectorizes cleanly:
+the intersection polygon of two convex quads is spanned by (a) corners of A
+inside B, (b) corners of B inside A, (c) the 16 edge-edge intersection
+points. We compute all 24 candidates with validity masks (static shapes!),
+sort by angle around the valid-point centroid, and take the shoelace area.
+Everything is elementwise/VPU work that XLA fuses; the pairwise version is a
+double vmap, giving an (N, M) overlap matrix in one fused kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import boxes_to_corners_bev
+
+_EPS = 1e-8
+
+
+def _cross2(o, a, b):
+    """z-component of (a-o) x (b-o); positive if o->a->b turns counter-clockwise."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _points_in_convex_quad(pts, quad):
+    """pts: (P, 2), quad: (4, 2) counter-clockwise -> (P,) bool."""
+    nxt = jnp.roll(quad, -1, axis=0)  # (4, 2)
+    # cross of each edge with each point
+    cross = _cross2(quad[None, :, :], nxt[None, :, :], pts[:, None, :])  # (P, 4)
+    return jnp.all(cross >= -_EPS, axis=1)
+
+
+def _segment_intersections(a_quad, b_quad):
+    """All 16 edge-edge intersection points of two quads.
+
+    Returns pts (16, 2), valid (16,) bool.
+    """
+    p1 = a_quad  # (4, 2)
+    p2 = jnp.roll(a_quad, -1, axis=0)
+    q1 = b_quad
+    q2 = jnp.roll(b_quad, -1, axis=0)
+    # broadcast to (4, 4, 2): a-edge i vs b-edge j
+    p1b, p2b = p1[:, None, :], p2[:, None, :]
+    q1b, q2b = q1[None, :, :], q2[None, :, :]
+    r = p2b - p1b
+    s = q2b - q1b
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]  # (4, 4)
+    qmp = q1b - p1b
+    t_num = qmp[..., 0] * s[..., 1] - qmp[..., 1] * s[..., 0]
+    u_num = qmp[..., 0] * r[..., 1] - qmp[..., 1] * r[..., 0]
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    t = t_num / safe
+    u = u_num / safe
+    valid = (
+        (jnp.abs(denom) > _EPS)
+        & (t >= -_EPS) & (t <= 1.0 + _EPS)
+        & (u >= -_EPS) & (u <= 1.0 + _EPS)
+    )
+    pts = p1b + t[..., None] * r  # (4, 4, 2)
+    return pts.reshape(16, 2), valid.reshape(16)
+
+
+def _convex_area_from_candidates(pts, valid):
+    """Area of the convex polygon spanned by the valid candidate points.
+
+    pts: (K, 2), valid: (K,) bool. Sorts valid points by angle around their
+    centroid; invalid slots are collapsed onto the first valid point so the
+    shoelace ring contributes zero for them (static-shape trick).
+    """
+    k = pts.shape[0]
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+    vf = valid.astype(pts.dtype)[:, None]
+    centroid = jnp.sum(pts * vf, axis=0) / jnp.maximum(num_valid, 1).astype(pts.dtype)
+    ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort to the end
+    order = jnp.argsort(ang)
+    pts_sorted = pts[order]
+    idx = jnp.arange(k)
+    idx = jnp.where(idx < num_valid, idx, 0)
+    ring = pts_sorted[idx]  # (K, 2) with invalid slots duplicating point 0
+    nxt = jnp.roll(ring, -1, axis=0)
+    area2 = jnp.sum(ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1])
+    area = 0.5 * jnp.abs(area2)
+    return jnp.where(num_valid >= 3, area, 0.0)
+
+
+def _overlap_bev_single(corners_a, corners_b):
+    """BEV overlap area of two quads given their (4, 2) ccw corners."""
+    a_in_b = _points_in_convex_quad(corners_a, corners_b)  # (4,)
+    b_in_a = _points_in_convex_quad(corners_b, corners_a)  # (4,)
+    inter_pts, inter_valid = _segment_intersections(corners_a, corners_b)
+    pts = jnp.concatenate([corners_a, corners_b, inter_pts], axis=0)  # (24, 2)
+    valid = jnp.concatenate([a_in_b, b_in_a, inter_valid], axis=0)  # (24,)
+    return _convex_area_from_candidates(pts, valid)
+
+
+def boxes_overlap_bev(boxes_a, boxes_b):
+    """(N, 7), (M, 7) -> (N, M) rotated BEV overlap areas.
+
+    Parity with the reference ``boxes_overlap_bev_gpu``
+    (cpd/ops/iou3d_nms/src/iou3d_nms_api.cpp:11)."""
+    ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
+    cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
+    fn = jax.vmap(jax.vmap(_overlap_bev_single, in_axes=(None, 0)), in_axes=(0, None))
+    return fn(ca, cb)
+
+
+def boxes_iou_bev(boxes_a, boxes_b):
+    """(N, 7), (M, 7) -> (N, M) rotated BEV IoU (reference ``boxes_iou_bev_gpu``)."""
+    overlap = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, min=1e-6)
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    """(N, 7), (M, 7) -> (N, M) 3D IoU with z-extent overlap.
+
+    Parity with ``boxes_iou3d_gpu`` (cpd/ops/iou3d_nms/iou3d_nms_utils.py:67)."""
+    overlap_bev = boxes_overlap_bev(boxes_a, boxes_b)
+    a_zmin = (boxes_a[:, 2] - boxes_a[:, 5] / 2.0)[:, None]
+    a_zmax = (boxes_a[:, 2] + boxes_a[:, 5] / 2.0)[:, None]
+    b_zmin = (boxes_b[:, 2] - boxes_b[:, 5] / 2.0)[None, :]
+    b_zmax = (boxes_b[:, 2] + boxes_b[:, 5] / 2.0)[None, :]
+    overlap_h = jnp.clip(jnp.minimum(a_zmax, b_zmax) - jnp.maximum(a_zmin, b_zmin), min=0.0)
+    overlap_3d = overlap_bev * overlap_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return overlap_3d / jnp.clip(vol_a + vol_b - overlap_3d, min=1e-6)
+
+
+def boxes_aligned_iou_bev(boxes_a, boxes_b):
+    """Axis-aligned nearest-BEV IoU, parity with box_utils.boxes3d_nearest_bev_iou
+    (cpd/utils/box_utils.py:275): boxes are converted to their axis-aligned
+    BEV footprint by snapping heading to the nearest multiple of pi/2."""
+
+    def to_aabb(b):
+        # heading snapped: if closer to +/- pi/2, swap dx/dy
+        rot = jnp.abs(jnp.mod(b[:, 6], jnp.pi))
+        swap = (rot > jnp.pi / 4) & (rot < 3 * jnp.pi / 4)
+        dx = jnp.where(swap, b[:, 4], b[:, 3])
+        dy = jnp.where(swap, b[:, 3], b[:, 4])
+        return jnp.stack(
+            [b[:, 0] - dx / 2, b[:, 1] - dy / 2, b[:, 0] + dx / 2, b[:, 1] + dy / 2],
+            axis=-1,
+        )
+
+    a = to_aabb(boxes_a)
+    b = to_aabb(boxes_b)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, min=0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    return inter / jnp.clip(area_a + area_b - inter, min=1e-6)

@@ -1,0 +1,134 @@
+"""On-device dynamic voxelization with fixed capacities (TPU-native).
+
+Replaces the reference's CPU voxelizer (spconv ``Point2VoxelCPU3d`` wrapped in
+cpd/datasets/processor/data_processor.py:14-59) and MeanVFE
+(cpd/models/backbones_3d/vfe/mean_vfe.py) in one fused step: because CPD's
+VFE is a mean, we never materialize the (V, 5, C) point buffer at all --
+"dynamic voxelization": sort points by voxel key, segment-mean the features,
+emit (V_cap, C) features + (V_cap, 3) integer zyx coords + validity mask.
+Static shapes throughout: P_cap points in, V_cap voxels out.
+
+All heavy steps (sort, segment sum) are single XLA ops that TPU executes
+efficiently; there is no Python loop and no host round-trip, so voxelization
+runs inside the jitted train step (the reference does this on CPU workers).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelizerSpec(NamedTuple):
+    point_cloud_range: tuple  # (xmin, ymin, zmin, xmax, ymax, zmax)
+    voxel_size: tuple  # (vx, vy, vz)
+    grid_size: tuple  # (nx, ny, nz) -- derived, static
+    max_voxels: int
+
+    @staticmethod
+    def create(point_cloud_range: Sequence[float], voxel_size: Sequence[float], max_voxels: int):
+        pcr = tuple(float(x) for x in point_cloud_range)
+        vs = tuple(float(x) for x in voxel_size)
+        grid = tuple(
+            int(round((pcr[i + 3] - pcr[i]) / vs[i])) for i in range(3)
+        )
+        return VoxelizerSpec(pcr, vs, grid, int(max_voxels))
+
+
+class VoxelizedFrame(NamedTuple):
+    features: jnp.ndarray  # (V_cap, C) mean point features per voxel
+    coords: jnp.ndarray  # (V_cap, 3) int32 zyx coords, -1 padded
+    num_points: jnp.ndarray  # (V_cap,) int32 points per voxel
+    valid: jnp.ndarray  # (V_cap,) bool
+    point_voxel_id: jnp.ndarray  # (P_cap,) int32 row in the voxel table, -1 if dropped
+
+
+def compute_voxel_keys(points, spec: VoxelizerSpec, valid=None):
+    """(P, 3+) points -> (P,) int32 linearized voxel key; -1 for out-of-range/invalid.
+
+    Key layout: ((z * ny) + y) * nx + x, matching the zyx coord convention.
+    """
+    pcr = jnp.asarray(spec.point_cloud_range, dtype=points.dtype)
+    vs = jnp.asarray(spec.voxel_size, dtype=points.dtype)
+    nx, ny, nz = spec.grid_size
+    rel = (points[:, :3] - pcr[:3]) / vs
+    ijk = jnp.floor(rel).astype(jnp.int32)  # xyz order
+    in_range = (
+        (ijk[:, 0] >= 0) & (ijk[:, 0] < nx)
+        & (ijk[:, 1] >= 0) & (ijk[:, 1] < ny)
+        & (ijk[:, 2] >= 0) & (ijk[:, 2] < nz)
+    )
+    if valid is not None:
+        in_range = in_range & valid
+    key = (ijk[:, 2] * ny + ijk[:, 1]) * nx + ijk[:, 0]
+    return jnp.where(in_range, key, -1)
+
+
+def key_to_coords(key, spec: VoxelizerSpec):
+    """(V,) int32 keys -> (V, 3) int32 zyx coords (-1 rows preserved)."""
+    nx, ny, _ = spec.grid_size
+    x = key % nx
+    y = (key // nx) % ny
+    z = key // (nx * ny)
+    coords = jnp.stack([z, y, x], axis=-1)
+    return jnp.where(key[:, None] >= 0, coords, -1)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
+    """Dynamic voxelization + mean VFE for one frame.
+
+    points: (P_cap, C) with xyz in the first 3 channels; ``valid`` masks
+    padded points. Voxel order in the output table is ascending key order
+    (deterministic), padded rows at the end.
+    """
+    p_cap, c = points.shape
+    v_cap = spec.max_voxels
+    key = compute_voxel_keys(points, spec, valid)  # (P,)
+    big = jnp.iinfo(jnp.int32).max
+    sort_key = jnp.where(key >= 0, key, big)
+    order = jnp.argsort(sort_key)
+    skey = sort_key[order]
+    # unique flags over the sorted keys
+    first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+    first = first & (skey < big)
+    # voxel slot for each sorted point: cumsum of first-flags - 1
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # (P,)
+    point_ok = skey < big
+    slot_clipped = jnp.where(point_ok & (slot < v_cap), slot, v_cap)  # overflow bucket
+    # segment-mean features
+    sorted_pts = points[order]
+    sums = jax.ops.segment_sum(
+        jnp.where(point_ok[:, None], sorted_pts, 0.0), slot_clipped, num_segments=v_cap + 1
+    )[:v_cap]
+    counts = jax.ops.segment_sum(
+        point_ok.astype(jnp.int32), slot_clipped, num_segments=v_cap + 1
+    )[:v_cap]
+    feats = sums / jnp.maximum(counts[:, None], 1).astype(points.dtype)
+    # voxel keys per slot
+    voxel_keys = jax.ops.segment_max(
+        jnp.where(first & (slot < v_cap), skey, -1), slot_clipped, num_segments=v_cap + 1
+    )[:v_cap]
+    valid_voxels = counts > 0
+    voxel_keys = jnp.where(valid_voxels, voxel_keys, -1)
+    coords = key_to_coords(voxel_keys, spec)
+    # map each original point to its voxel row
+    pv = jnp.where(point_ok & (slot < v_cap), slot, -1)
+    point_voxel_id = jnp.zeros((p_cap,), jnp.int32).at[order].set(pv)
+    return VoxelizedFrame(
+        features=jnp.where(valid_voxels[:, None], feats, 0.0),
+        coords=coords,
+        num_points=counts,
+        valid=valid_voxels,
+        point_voxel_id=point_voxel_id,
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def voxelize_batch(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
+    """Batched voxelization: points (B, P_cap, C) -> VoxelizedFrame with leading B axis."""
+    return jax.vmap(lambda p, v: voxelize(p, spec, v))(
+        points, valid if valid is not None else jnp.ones(points.shape[:2], dtype=bool)
+    )
