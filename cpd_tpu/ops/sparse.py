@@ -1,0 +1,284 @@
+"""Sparse 3D convolution substrate: static-shape rulebooks + gather-GEMM.
+
+TPU-native replacement for the external spconv 2.x dependency of the
+reference (SubMConv3d / SparseConv3d used by
+cpd/models/backbones_3d/spconv_backbone.py via cpd/utils/spconv_utils.py).
+
+Design (TPU-first, nothing like spconv's hash-table CUDA implementation):
+
+* A sparse tensor is (features (V_cap, C), keys (V_cap,)) where ``keys`` are
+  int32 linearized zyx coordinates, SORTED ascending, with padding slots set
+  to INT32_MAX at the end. Sortedness is the core invariant: every neighbor
+  lookup is a binary search (``jnp.searchsorted``), which XLA vectorizes --
+  no hash tables, no dynamic shapes.
+
+* Rulebooks are dense (V_cap, K) int32 gather index tables + found masks,
+  built once per sparsity pattern and shared by all convolutions with the
+  same ``indice_key`` (mirroring spconv's indice_key reuse semantics,
+  spconv_backbone.py:160-193 in the reference).
+
+* Convolution = im2col gather into (V_cap, K*Cin) followed by ONE large
+  (V_cap, K*Cin) @ (K*Cin, Cout) matmul: a single MXU-shaped GEMM per layer
+  instead of K small ones. Autodiff gives the scatter-add backward for free.
+
+* Downsampling (strided) convs build their output coordinate set with a
+  sort-unique over the reduced candidate enumeration (ceil(k/s) candidates
+  per dim per input voxel), again static-shape with capacity + masks.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+class GridSpec(NamedTuple):
+    """Static spatial grid (nx, ny, nz). Keys are ((z * ny) + y) * nx + x."""
+
+    nx: int
+    ny: int
+    nz: int
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    def downsample(self, stride: Tuple[int, int, int], padding: Tuple[int, int, int],
+                   kernel: Tuple[int, int, int]) -> "GridSpec":
+        # conv output size: floor((n + 2p - k) / s) + 1, per dim (x, y, z order)
+        k = kernel
+        s = stride
+        p = padding
+        nx = (self.nx + 2 * p[0] - k[0]) // s[0] + 1
+        ny = (self.ny + 2 * p[1] - k[1]) // s[1] + 1
+        nz = (self.nz + 2 * p[2] - k[2]) // s[2] + 1
+        return GridSpec(nx, ny, nz)
+
+
+def keys_from_coords(coords_zyx, grid: GridSpec, valid=None):
+    """(V, 3) int zyx -> (V,) int32 keys; out-of-bounds/invalid -> INVALID_KEY."""
+    z, y, x = coords_zyx[:, 0], coords_zyx[:, 1], coords_zyx[:, 2]
+    in_bounds = (
+        (x >= 0) & (x < grid.nx) & (y >= 0) & (y < grid.ny) & (z >= 0) & (z < grid.nz)
+    )
+    if valid is not None:
+        in_bounds = in_bounds & valid
+    key = (z * grid.ny + y) * grid.nx + x
+    return jnp.where(in_bounds, key, INVALID_KEY).astype(jnp.int32)
+
+
+def coords_from_keys(keys, grid: GridSpec):
+    """(V,) int32 keys -> (V, 3) int32 zyx (junk rows for INVALID_KEY slots)."""
+    x = keys % grid.nx
+    y = (keys // grid.nx) % grid.ny
+    z = keys // (grid.nx * grid.ny)
+    return jnp.stack([z, y, x], axis=-1)
+
+
+def lookup(sorted_keys, queries):
+    """Binary-search ``queries`` in ``sorted_keys``.
+
+    Returns (idx (Q,), found (Q,) bool). idx is clamped in-range so gathers
+    are always safe; ``found`` is False for padding/missing queries.
+    """
+    v = sorted_keys.shape[0]
+    idx = jnp.searchsorted(sorted_keys, queries).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, v - 1)
+    found = (sorted_keys[idx] == queries) & (queries != INVALID_KEY)
+    return idx, found
+
+
+def _kernel_offsets(kernel: Tuple[int, int, int]):
+    """Static list of (dz, dy, dx) offsets relative to the kernel origin."""
+    kx, ky, kz = kernel
+    offs = []
+    for dz in range(kz):
+        for dy in range(ky):
+            for dx in range(kx):
+                offs.append((dz, dy, dx))
+    return offs
+
+
+class Rulebook(NamedTuple):
+    """Gather table: out_features[v] += in_features[idx[v, k]] * found[v, k] @ W[k]."""
+
+    idx: jnp.ndarray  # (V_out_cap, K) int32 into the input voxel table
+    found: jnp.ndarray  # (V_out_cap, K) bool
+    out_keys: jnp.ndarray  # (V_out_cap,) int32 sorted keys of output voxels
+    out_valid: jnp.ndarray  # (V_out_cap,) bool
+
+
+@partial(jax.jit, static_argnames=("grid", "kernel"))
+def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3, 3, 3)) -> Rulebook:
+    """Submanifold rulebook: output sites == input sites (SubMConv3d semantics).
+
+    keys: (V_cap,) sorted int32. For each active voxel and each kernel offset,
+    find the input voxel at (coord + offset - center), or mark not-found.
+    """
+    kx, ky, kz = kernel
+    cx, cy, cz = kx // 2, ky // 2, kz // 2
+    coords = coords_from_keys(keys, grid)  # (V, 3) zyx
+    valid = keys != INVALID_KEY
+    idx_cols = []
+    found_cols = []
+    for dz, dy, dx in _kernel_offsets(kernel):
+        if (dz, dy, dx) == (cz, cy, cx):
+            # center tap: identity
+            n = keys.shape[0]
+            idx_cols.append(jnp.arange(n, dtype=jnp.int32))
+            found_cols.append(valid)
+            continue
+        nc = coords + jnp.array([dz - cz, dy - cy, dx - cx], dtype=coords.dtype)
+        nkeys = keys_from_coords(nc, grid, valid)
+        i, f = lookup(keys, nkeys)
+        idx_cols.append(i)
+        found_cols.append(f)
+    return Rulebook(
+        idx=jnp.stack(idx_cols, axis=1),
+        found=jnp.stack(found_cols, axis=1),
+        out_keys=keys,
+        out_valid=valid,
+    )
+
+
+def build_conv_rulebook(
+    keys,
+    grid: GridSpec,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_cap: int,
+) -> Tuple[Rulebook, GridSpec]:
+    out_grid = grid.downsample(stride, padding, kernel)
+    rb = _build_conv_rulebook_jit(keys, grid, out_grid, kernel, stride, padding, out_cap)
+    return rb, out_grid
+
+
+@partial(jax.jit, static_argnames=("grid", "out_grid", "kernel", "stride", "padding", "out_cap"))
+def _build_conv_rulebook_jit(
+    keys,
+    grid: GridSpec,
+    out_grid: GridSpec,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+    out_cap: int,
+) -> Rulebook:
+    """Strided (non-submanifold) rulebook: SparseConv3d semantics.
+
+    Output active set = every output site whose receptive field touches an
+    input voxel. Built by enumerating the reduced per-dim candidate set
+    (ceil(k/s) candidates per dim) per input voxel, then sort + unique with
+    a static output capacity ``out_cap``.
+    kernel/stride/padding are (x, y, z) tuples.
+    """
+    coords = coords_from_keys(keys, grid)  # (V, 3) zyx
+    valid = keys != INVALID_KEY
+    kx, ky, kz = kernel
+    sx, sy, sz = stride
+    px, py, pz = padding
+
+    def dim_candidates(i, k, s, p, out_n):
+        """All output coords o with 0 <= i + p - o*s < k, as a static-size set."""
+        n_cand = -(-k // s)  # ceil(k/s)
+        base = (i + p) // s
+        cands = []
+        for q in range(n_cand):
+            o = base - q
+            koff = i + p - o * s
+            ok = (koff >= 0) & (koff < k) & (o >= 0) & (o < out_n)
+            cands.append((o, ok))
+        return cands
+
+    # build candidate output keys: (V * n_cand^3,)
+    cand_keys = []
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    for oz, okz in dim_candidates(z, kz, sz, pz, out_grid.nz):
+        for oy, oky in dim_candidates(y, ky, sy, py, out_grid.ny):
+            for ox, okx in dim_candidates(x, kx, sx, px, out_grid.nx):
+                ok = okz & oky & okx & valid
+                key = (oz * out_grid.ny + oy) * out_grid.nx + ox
+                cand_keys.append(jnp.where(ok, key, INVALID_KEY).astype(jnp.int32))
+    cand = jnp.concatenate(cand_keys)  # (V * n_cand^3,)
+    cand = jnp.sort(cand)
+    first = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
+    first = first & (cand != INVALID_KEY)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = jnp.where(first & (slot < out_cap), slot, out_cap)
+    out_keys = jax.ops.segment_max(
+        jnp.where(first, cand, -1), slot, num_segments=out_cap + 1
+    )[:out_cap]
+    out_valid = out_keys >= 0
+    out_keys = jnp.where(out_valid, out_keys, INVALID_KEY).astype(jnp.int32)
+
+    # for each output voxel and kernel tap, find the contributing input voxel:
+    # input coord = out*s - p + tap
+    out_coords = coords_from_keys(out_keys, out_grid)
+    idx_cols, found_cols = [], []
+    for dz, dy, dx in _kernel_offsets(kernel):
+        ic_z = out_coords[:, 0] * sz - pz + dz
+        ic_y = out_coords[:, 1] * sy - py + dy
+        ic_x = out_coords[:, 2] * sx - px + dx
+        ic = jnp.stack([ic_z, ic_y, ic_x], axis=-1)
+        qkeys = keys_from_coords(ic, grid, out_valid)
+        i, f = lookup(keys, qkeys)
+        idx_cols.append(i)
+        found_cols.append(f)
+    return Rulebook(
+        idx=jnp.stack(idx_cols, axis=1),
+        found=jnp.stack(found_cols, axis=1),
+        out_keys=out_keys,
+        out_valid=out_valid,
+    )
+
+
+def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
+                      compute_dtype=None):
+    """Apply a (subm or strided) sparse conv given its rulebook.
+
+    features: (V_in_cap, Cin); weights: (K, Cin, Cout) -> (V_out_cap, Cout).
+
+    im2col formulation: one gather into (V_out, K*Cin) then a single GEMM
+    with the (K*Cin, Cout) reshaped weights -- an MXU-sized contraction.
+    """
+    v_out, k = rulebook.idx.shape
+    cin = features.shape[-1]
+    cout = weights.shape[-1]
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    gathered = features[rulebook.idx]  # (V_out, K, Cin)
+    gathered = jnp.where(rulebook.found[..., None], gathered, 0)
+    out = jax.lax.dot_general(
+        gathered.reshape(v_out, k * cin),
+        weights.reshape(k * cin, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return jnp.where(rulebook.out_valid[:, None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("grid", "channels"))
+def to_dense(features, keys, grid: GridSpec, channels: int):
+    """Scatter a sparse tensor into a dense (nz, ny, nx, C) grid (spconv .dense())."""
+    valid = keys != INVALID_KEY
+    safe_keys = jnp.where(valid, keys, 0)
+    dense = jnp.zeros((grid.num_cells, channels), dtype=features.dtype)
+    dense = dense.at[safe_keys].add(jnp.where(valid[:, None], features, 0.0))
+    return dense.reshape(grid.nz, grid.ny, grid.nx, channels)
+
+
+def masked_batch_stats(features, valid):
+    """Mean/var over valid voxels of (..., V, C) features. Returns (mean (C,), var (C,))."""
+    mask = valid[..., None].astype(features.dtype)
+    count = jnp.clip(jnp.sum(mask), min=1.0)
+    flat_axes = tuple(range(features.ndim - 1))
+    mean = jnp.sum(features * mask, axis=flat_axes) / count
+    var = jnp.sum(mask * (features - mean) ** 2, axis=flat_axes) / count
+    return mean, var

@@ -1,0 +1,153 @@
+import numpy as np
+import jax.numpy as jnp
+
+from cpd_tpu.ops import sparse
+from cpd_tpu.ops.sparse import GridSpec, INVALID_KEY
+
+
+def make_sparse(rng, grid, n_active, cap, cin):
+    """Random sorted sparse tensor with padding."""
+    cells = grid.num_cells
+    keys = rng.choice(cells, size=n_active, replace=False).astype(np.int32)
+    keys = np.sort(keys)
+    feats = rng.normal(size=(n_active, cin)).astype(np.float32)
+    pad_keys = np.full(cap - n_active, INVALID_KEY, dtype=np.int32)
+    pad_feats = np.zeros((cap - n_active, cin), dtype=np.float32)
+    return (
+        np.concatenate([feats, pad_feats]),
+        np.concatenate([keys, pad_keys]),
+    )
+
+
+def dense_from_sparse(feats, keys, grid, cin):
+    dense = np.zeros((grid.nz, grid.ny, grid.nx, cin), dtype=np.float32)
+    for f, k in zip(feats, keys):
+        if k == INVALID_KEY:
+            continue
+        x = k % grid.nx
+        y = (k // grid.nx) % grid.ny
+        z = k // (grid.nx * grid.ny)
+        dense[z, y, x] = f
+    return dense
+
+
+def dense_conv3d(dense, weights, kernel, stride, padding):
+    """Oracle: naive dense conv. weights (K, Cin, Cout) in zyx-offset order."""
+    kx, ky, kz = kernel
+    sx, sy, sz = stride
+    px, py, pz = padding
+    nz, ny, nx, cin = dense.shape
+    cout = weights.shape[-1]
+    onz = (nz + 2 * pz - kz) // sz + 1
+    ony = (ny + 2 * py - ky) // sy + 1
+    onx = (nx + 2 * px - kx) // sx + 1
+    out = np.zeros((onz, ony, onx, cout), dtype=np.float32)
+    w = weights.reshape(kz, ky, kx, cin, cout)
+    for oz in range(onz):
+        for oy in range(ony):
+            for ox in range(onx):
+                acc = np.zeros(cout, dtype=np.float32)
+                for dz in range(kz):
+                    for dy in range(ky):
+                        for dx in range(kx):
+                            iz = oz * sz - pz + dz
+                            iy = oy * sy - py + dy
+                            ix = ox * sx - px + dx
+                            if 0 <= iz < nz and 0 <= iy < ny and 0 <= ix < nx:
+                                acc += dense[iz, iy, ix] @ w[dz, dy, dx]
+                out[oz, oy, ox] = acc
+    return out
+
+
+def test_subm_conv_matches_dense():
+    rng = np.random.default_rng(0)
+    grid = GridSpec(nx=10, ny=9, nz=5)
+    cin, cout = 4, 6
+    feats, keys = make_sparse(rng, grid, n_active=60, cap=80, cin=cin)
+    weights = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+    rb = sparse.build_subm_rulebook(jnp.asarray(keys), grid, (3, 3, 3))
+    out = np.asarray(sparse.sparse_conv_apply(jnp.asarray(feats), rb, jnp.asarray(weights)))
+    dense = dense_from_sparse(feats, keys, grid, cin)
+    want_dense = dense_conv3d(dense, weights, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+    for i, k in enumerate(keys):
+        if k == INVALID_KEY:
+            assert np.all(out[i] == 0)
+            continue
+        x = k % grid.nx
+        y = (k // grid.nx) % grid.ny
+        z = k // (grid.nx * grid.ny)
+        np.testing.assert_allclose(out[i], want_dense[z, y, x], atol=1e-4)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.default_rng(1)
+    grid = GridSpec(nx=12, ny=10, nz=6)
+    cin, cout = 3, 5
+    feats, keys = make_sparse(rng, grid, n_active=70, cap=96, cin=cin)
+    weights = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.2
+    rb, out_grid = sparse.build_conv_rulebook(
+        jnp.asarray(keys), grid, kernel=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1), out_cap=96
+    )
+    out = np.asarray(sparse.sparse_conv_apply(jnp.asarray(feats), rb, jnp.asarray(weights)))
+    dense = dense_from_sparse(feats, keys, grid, cin)
+    want_dense = dense_conv3d(dense, weights, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+    assert (out_grid.nz, out_grid.ny, out_grid.nx) == want_dense.shape[:3]
+    out_keys = np.asarray(rb.out_keys)
+    out_valid = np.asarray(rb.out_valid)
+    # every valid output site must match the dense conv
+    for i in np.where(out_valid)[0]:
+        k = out_keys[i]
+        x = k % out_grid.nx
+        y = (k // out_grid.nx) % out_grid.ny
+        z = k // (out_grid.nx * out_grid.ny)
+        np.testing.assert_allclose(out[i], want_dense[z, y, x], atol=1e-4)
+    # every nonzero dense output site must be in the active set (no dropped sites)
+    active = set(out_keys[out_valid].tolist())
+    nz_sites = np.argwhere(np.abs(want_dense).sum(-1) > 1e-6)
+    for z, y, x in nz_sites:
+        k = (z * out_grid.ny + y) * out_grid.nx + x
+        assert k in active
+
+
+def test_conv_out_asymmetric_kernel():
+    """spconv_out of the reference backbone: kernel (3,1,1) zyx with stride (2,1,1) on z."""
+    rng = np.random.default_rng(2)
+    grid = GridSpec(nx=8, ny=8, nz=5)
+    cin, cout = 4, 4
+    feats, keys = make_sparse(rng, grid, n_active=40, cap=64, cin=cin)
+    # kernel in (x, y, z) = (1, 1, 3), stride (1, 1, 2), padding 0
+    kernel, stride, padding = (1, 1, 3), (1, 1, 2), (0, 0, 0)
+    kvol = 3
+    weights = rng.normal(size=(kvol, cin, cout)).astype(np.float32) * 0.3
+    rb, out_grid = sparse.build_conv_rulebook(
+        jnp.asarray(keys), grid, kernel=kernel, stride=stride, padding=padding, out_cap=64
+    )
+    out = np.asarray(sparse.sparse_conv_apply(jnp.asarray(feats), rb, jnp.asarray(weights)))
+    dense = dense_from_sparse(feats, keys, grid, cin)
+    want_dense = dense_conv3d(dense, weights, kernel, stride, padding)
+    out_keys = np.asarray(rb.out_keys)
+    for i in np.where(np.asarray(rb.out_valid))[0]:
+        k = out_keys[i]
+        x = k % out_grid.nx
+        y = (k // out_grid.nx) % out_grid.ny
+        z = k // (out_grid.nx * out_grid.ny)
+        np.testing.assert_allclose(out[i], want_dense[z, y, x], atol=1e-4)
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.default_rng(3)
+    grid = GridSpec(nx=6, ny=5, nz=3)
+    feats, keys = make_sparse(rng, grid, n_active=20, cap=32, cin=4)
+    dense = np.asarray(sparse.to_dense(jnp.asarray(feats), jnp.asarray(keys), grid, 4))
+    want = dense_from_sparse(feats, keys, grid, 4)
+    np.testing.assert_allclose(dense, want, atol=0)
+
+
+def test_masked_batch_stats():
+    rng = np.random.default_rng(4)
+    f = rng.normal(size=(2, 10, 3)).astype(np.float32)
+    valid = rng.uniform(size=(2, 10)) > 0.4
+    mean, var = sparse.masked_batch_stats(jnp.asarray(f), jnp.asarray(valid))
+    sel = f[valid]
+    np.testing.assert_allclose(np.asarray(mean), sel.mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), sel.var(0), atol=1e-5)
