@@ -1,0 +1,225 @@
+"""Detector skeleton + registry: the TPU-native Detector3DTemplate.
+
+Parity with the reference template (cpd/models/detectors/detector3d_template.py)
+and VoxelRCNN assembly (detectors/voxel_rcnn.py): module topology
+vfe -> backbone_3d -> map_to_bev -> backbone_2d -> dense_head -> roi_head,
+built from the same YAML config keys (MODEL.VFE/BACKBONE_3D/...). Differences
+by design:
+
+* The VFE is fused into on-device dynamic voxelization (MeanVFE semantics:
+  per-voxel mean; the reference additionally truncates voxels at 5 points --
+  we average over ALL points in the voxel, which is strictly more accurate).
+* The whole forward -- including voxelization and NMS -- is one jittable
+  function of fixed-capacity arrays; train/eval steps wrap it with pjit.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import nms as nms_ops
+from ..ops import sparse
+from ..ops.sparse import GridSpec
+from ..ops.voxelizer import VoxelizerSpec, voxelize_batch
+from .backbone3d import VoxelResBackBone8x
+from .bev import BaseBEVBackbone, height_compression
+from .center_head import CenterHead
+from .roi_head import VoxelRCNNProtoHead
+
+
+def keys_from_frame(frame, grid: GridSpec):
+    """VoxelizedFrame coords -> sorted int32 keys with INVALID padding."""
+    coords = frame.coords
+    key = (coords[..., 0] * grid.ny + coords[..., 1]) * grid.nx + coords[..., 2]
+    return jnp.where(frame.valid, key, sparse.INVALID_KEY).astype(jnp.int32)
+
+
+class VoxelRCNN(nn.Module):
+    """The CPD detector: VoxelResBackBone8x (+MM) -> BEV -> CenterHead -> ProtoHead."""
+
+    num_classes: int = 3
+    point_cloud_range: Tuple[float, ...] = (-75.2, -75.2, -2.0, 75.2, 75.2, 4.0)
+    voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.15)
+    max_voxels: int = 150000
+    num_point_features: int = 5
+    backbone_filters: Tuple[int, ...] = (16, 32, 64, 128)
+    backbone_caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
+    mm: bool = True
+    with_roi_head: bool = True
+    num_rois: int = 500
+    roi_grid_size: int = 6
+    roi_per_image: int = 130
+    bn_axis_name: Optional[str] = None
+    # NMS configs (RPN proposals / final post-processing)
+    rpn_nms: Any = None  # dict like {'NMS_THRESH':0.8,...}; None = defaults
+    post_nms: Any = None
+
+    def setup(self):
+        self.vox_spec = VoxelizerSpec.create(
+            self.point_cloud_range, self.voxel_size, self.max_voxels
+        )
+        nx, ny, nz = self.vox_spec.grid_size
+        # spconv convention: +1 on z so the encoder bottoms out at depth 2
+        self.grid = GridSpec(nx, ny, nz + 1)
+        self.backbone = VoxelResBackBone8x(
+            grid=self.grid,
+            num_filters=self.backbone_filters,
+            caps=self.backbone_caps,
+            mm=self.mm,
+            bn_axis_name=self.bn_axis_name,
+        )
+        self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
+        self.dense_head = CenterHead(
+            num_classes=self.num_classes,
+            voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+            bn_axis_name=self.bn_axis_name,
+        )
+        if self.with_roi_head:
+            self.roi_head = VoxelRCNNProtoHead(
+                num_rois=self.num_rois,
+                roi_per_image=self.roi_per_image,
+                grid_size=self.roi_grid_size,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                mm=self.mm,
+            )
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """batch: points (B, P, C), points_valid (B, P); train additionally
+        points1/points1_valid (proto-completed view) when mm."""
+        frame = voxelize_batch(batch["points"], self.vox_spec, batch.get("points_valid"))
+        keys = keys_from_frame(frame, self.grid)
+        feats_mm = keys_mm = None
+        if self.mm and train and "points1" in batch:
+            frame_mm = voxelize_batch(
+                batch["points1"], self.vox_spec, batch.get("points1_valid")
+            )
+            feats_mm = frame_mm.features
+            keys_mm = keys_from_frame(frame_mm, self.grid)
+        backbone_out = self.backbone(frame.features, keys, train, feats_mm, keys_mm)
+
+        enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
+        bev = height_compression(enc_feats, enc_keys, enc_grid)
+        st_features_2d = self.bev_backbone(bev, train)
+        head_preds = self.dense_head(st_features_2d, train)
+
+        out = {
+            "head_preds": head_preds,
+            "backbone_out": backbone_out,
+            "bev_grid": enc_grid,
+        }
+        rpn_nms = self.rpn_nms or {
+            "NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096, "NMS_POST_MAXSIZE": self.num_rois,
+        }
+        proposals = self.dense_head.generate_predicted_boxes(
+            head_preds, k=500, score_thresh=0.0 if train else 0.1,
+            nms_cfg=rpn_nms, post_max_size=self.num_rois,
+        )
+        # proposals are constants to the second stage (reference proposal_layer
+        # runs under no_grad, roi_head_template.py:52); RPN learns via its own loss
+        proposals = jax.tree_util.tree_map(jax.lax.stop_gradient, proposals)
+        out.update(proposals)
+        if self.with_roi_head:
+            roi_out = self.roi_head(
+                proposals, backbone_out, batch, train,
+            )
+            out.update(roi_out)
+        return out
+
+    # ---- losses ---------------------------------------------------------
+
+    def compute_loss(self, out, batch):
+        """Total training loss = CenterHead loss + ProtoHead loss (voxel_rcnn.py:29)."""
+        h, w = out["head_preds"]["hm"].shape[1:3]
+        targets = self.dense_head.assign_targets(
+            batch["gt_boxes"], batch["gt_valid"], (h, w)
+        )
+        rpn_loss, tb = self.dense_head.get_loss(out["head_preds"], targets)
+        total = rpn_loss
+        if self.with_roi_head and "rcnn_cls" in out:
+            rcnn_loss, tb2 = self.roi_head.get_loss(out, batch)
+            total = total + rcnn_loss
+            tb.update(tb2)
+        tb["rpn_loss"] = rpn_loss
+        tb["total_loss"] = total
+        return total, tb
+
+    def loss_step(self, batch):
+        """Forward + loss in one apply (the jitted train-step body)."""
+        out = self(batch, train=True)
+        return self.compute_loss(out, batch)
+
+    def predict(self, batch):
+        """Forward + final NMS in one apply (the jitted eval-step body)."""
+        out = self(batch, train=False)
+        return self.post_processing(out)
+
+    # ---- post-processing --------------------------------------------------
+
+    def post_processing(self, out, score_thresh=0.01, nms_cfg=None, post_max=500):
+        """Final NMS over refined boxes (detector3d_template.py:222).
+
+        Returns dict of fixed-size (B, post_max) boxes/scores/labels/valid.
+        """
+        nms_cfg = nms_cfg or {"NMS_THRESH": 0.3, "NMS_PRE_MAXSIZE": 4096,
+                              "NMS_POST_MAXSIZE": post_max}
+        if "batch_box_preds" in out:  # two-stage refined
+            boxes = out["batch_box_preds"]
+            scores = jax.nn.sigmoid(out["batch_cls_preds"][..., 0])
+            labels = out["roi_labels"]
+            valid = out["roi_valid"]
+        else:
+            boxes = out["rois"]
+            scores = out["roi_scores"]
+            labels = out["roi_labels"]
+            valid = out["roi_valid"]
+        valid = valid & (scores > score_thresh)
+
+        def one(b, s, l, v):
+            idx, mask = nms_ops.nms_bev(
+                b, s, thresh=nms_cfg["NMS_THRESH"],
+                pre_max_size=min(int(nms_cfg["NMS_PRE_MAXSIZE"]), b.shape[0]),
+                post_max_size=min(int(nms_cfg["NMS_POST_MAXSIZE"]), post_max),
+                valid=v,
+            )
+            return b[idx], s[idx], l[idx], mask
+
+        fb, fs, fl, fv = jax.vmap(one)(boxes, scores, labels, valid)
+        return {"pred_boxes": fb, "pred_scores": fs, "pred_labels": fl, "pred_valid": fv}
+
+
+_DETECTORS = {"VoxelRCNN": VoxelRCNN}
+
+
+def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
+    """Config-driven detector factory (parity: cpd/models/__init__.py:9).
+
+    model_cfg/data_cfg: ConfigDicts with the reference YAML schema.
+    """
+    name = model_cfg.get("NAME", "VoxelRCNN")
+    cls = _DETECTORS[name]
+    pcr = tuple(data_cfg["POINT_CLOUD_RANGE"])
+    vox_cfg = None
+    for proc in data_cfg["DATA_PROCESSOR"]:
+        if proc["NAME"] == "transform_points_to_voxels":
+            vox_cfg = proc
+    voxel_size = tuple(vox_cfg["VOXEL_SIZE"]) if vox_cfg else (0.1, 0.1, 0.15)
+    max_voxels = int(vox_cfg["MAX_NUMBER_OF_VOXELS"]["train"]) if vox_cfg else 150000
+    b3d = model_cfg.get("BACKBONE_3D", {})
+    roi = model_cfg.get("ROI_HEAD", None)
+    dense_post = model_cfg.get("DENSE_HEAD", {}).get("POST_PROCESSING", {})
+    return cls(
+        num_classes=num_class,
+        point_cloud_range=pcr,
+        voxel_size=voxel_size,
+        max_voxels=max_voxels,
+        backbone_filters=tuple(b3d.get("NUM_FILTERS", (16, 32, 64, 128))),
+        mm=bool(b3d.get("MM", False)),
+        with_roi_head=roi is not None,
+        num_rois=int(dense_post.get("NMS_CONFIG", {}).get("NMS_POST_MAXSIZE", 500)),
+        roi_per_image=int(roi["TARGET_CONFIG"]["ROI_PER_IMAGE"]) if roi else 130,
+    )

@@ -1,0 +1,386 @@
+"""VoxelRCNN RoI head + the CPD prototype-distillation ProtoHead.
+
+Parity targets in the reference:
+  - RoIHeadTemplate: proposal sampling, canonical-frame target assignment,
+    reg/cls/corner losses (cpd/models/roi_heads/roi_head_template.py:15-301).
+  - ProposalTargetLayer: fg/hard-bg/easy-bg sampling with per-class IoU
+    matching and CSS plumbing (roi_heads/target_assigner/proposal_target_layer.py).
+  - VoxelRCNNHead / VoxelRCNNProtoHead: 6^3 grid pooling over x_conv3/x_conv4
+    via voxel query, dual raw/proto towers, CSS-weighted losses and the
+    proto consistency loss (roi_heads/voxel_rcnn_head.py:16-917).
+
+TPU re-design notes:
+  * RoI sampling is static-shape: category ranks (fg / hard-bg / easy-bg) are
+    computed with random priorities and dynamic quotas expressed as rank
+    comparisons -- no boolean indexing, one top-k picks the 130 rois.
+  * Voxel query uses the static-window binary-search form (cpd_tpu.ops.pool);
+    both branches pool inside one jit so XLA overlaps their GEMMs.
+  * Losses consume validity masks; padding rois contribute exactly zero.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import pool
+from ..ops.box_coders import ResidualCoder
+from ..ops.geometry import limit_period, rotate_points_along_z
+from ..ops.iou3d import boxes_iou3d
+from ..utils import loss as loss_utils
+
+
+# ----------------------------------------------------------------------------
+# proposal target sampling (pure, per-sample)
+# ----------------------------------------------------------------------------
+
+def _rank_by_random(mask, rng):
+    """Rank elements of ``mask`` (True entries get ranks 0..n-1 in random order)."""
+    n = mask.shape[0]
+    r = jax.random.uniform(rng, (n,))
+    key = jnp.where(mask, r, jnp.inf)
+    order = jnp.argsort(key)
+    ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return jnp.where(mask, ranks, n)
+
+
+def sample_rois_for_rcnn(
+    rng,
+    rois,  # (R, 7)
+    roi_scores,  # (R,)
+    roi_labels,  # (R,) 1-based
+    roi_valid,  # (R,)
+    gt_boxes,  # (N, 8) with class in col 7
+    gt_valid,  # (N,)
+    css_score,  # (N,) per-gt CSS weight
+    roi_per_image: int = 130,
+    fg_ratio: float = 0.5,
+    reg_fg_thresh: float = 0.3,
+    cls_fg_thresh: float = 0.6,
+    cls_bg_thresh: float = 0.02,
+    cls_bg_thresh_lo: float = 0.01,
+    hard_bg_ratio: float = 0.1,
+):
+    """Static-shape fg/bg RoI sampling with per-class IoU matching.
+
+    Returns dict of (roi_per_image,)-shaped arrays: rois, gt_of_rois (8),
+    roi_ious, roi_labels, reg_valid_mask, cls_labels, css, valid.
+    """
+    iou = boxes_iou3d(rois[:, :7], gt_boxes[:, :7])  # (R, N)
+    same_cls = roi_labels[:, None] == gt_boxes[None, :, 7].astype(jnp.int32)
+    iou = jnp.where(same_cls & gt_valid[None, :] & roi_valid[:, None], iou, -1.0)
+    max_iou = jnp.max(iou, axis=1)
+    gt_idx = jnp.argmax(iou, axis=1)
+    max_iou = jnp.clip(max_iou, min=0.0)
+
+    fg_thresh = min(reg_fg_thresh, cls_fg_thresh)
+    fg = roi_valid & (max_iou >= fg_thresh)
+    easy_bg = roi_valid & (max_iou < cls_bg_thresh_lo)
+    hard_bg = roi_valid & (max_iou >= cls_bg_thresh_lo) & (max_iou < fg_thresh)
+
+    k_fg, k_hard, k_easy = jax.random.split(rng, 3)
+    fg_rank = _rank_by_random(fg, k_fg)
+    hard_rank = _rank_by_random(hard_bg, k_hard)
+    easy_rank = _rank_by_random(easy_bg, k_easy)
+
+    fg_quota = int(round(roi_per_image * fg_ratio))
+    n_fg = jnp.minimum(jnp.sum(fg.astype(jnp.int32)), fg_quota)
+    sel_fg = fg & (fg_rank < fg_quota)
+    bg_quota = roi_per_image - n_fg
+    hard_quota = jnp.ceil(bg_quota * hard_bg_ratio).astype(jnp.int32)
+    sel_hard = hard_bg & (hard_rank < hard_quota)
+    n_hard = jnp.sum(sel_hard.astype(jnp.int32))
+    sel_easy = easy_bg & (easy_rank < bg_quota - n_hard)
+    n_easy = jnp.sum(sel_easy.astype(jnp.int32))
+    # backfill: if not enough easy bg, take more hard bg; then any valid roi
+    sel_hard2 = hard_bg & (hard_rank < bg_quota - n_easy)
+    sel_hard = sel_hard | sel_hard2
+    selected = sel_fg | sel_hard | sel_easy
+    filler_rank = _rank_by_random(roi_valid & ~selected, k_easy)
+    need = roi_per_image - jnp.sum(selected.astype(jnp.int32))
+    filler = roi_valid & ~selected & (filler_rank < need)
+    selected = selected | filler
+
+    priority = (
+        jnp.where(sel_fg, 3e6, 0.0)
+        + jnp.where(sel_hard, 2e6, 0.0)
+        + jnp.where(sel_easy, 1e6, 0.0)
+        + jnp.where(filler, 5e5, 0.0)
+        + jax.random.uniform(k_fg, max_iou.shape)
+    )
+    priority = jnp.where(selected, priority, -jnp.inf)
+    _, sel_idx = jax.lax.top_k(priority, roi_per_image)
+    sel_valid = jnp.isfinite(jnp.take(priority, sel_idx))
+
+    s_rois = rois[sel_idx]
+    s_iou = max_iou[sel_idx]
+    s_gt_idx = gt_idx[sel_idx]
+    s_gt = gt_boxes[s_gt_idx]
+    s_labels = roi_labels[sel_idx]
+    s_css = css_score[s_gt_idx]
+    reg_valid = (s_iou >= reg_fg_thresh) & sel_valid
+    # soft IoU-based cls labels (proposal_target_layer.py:100-163)
+    soft = jnp.clip((s_iou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh), 0.0, 1.0)
+    cls_labels = jnp.where(sel_valid, soft, 0.0)
+    return {
+        "rois": s_rois,
+        "gt_of_rois": s_gt,
+        "roi_ious": s_iou,
+        "roi_labels": s_labels,
+        "roi_scores": roi_scores[sel_idx],
+        "reg_valid_mask": reg_valid,
+        "cls_labels": cls_labels,
+        "css": jnp.where(sel_valid, s_css, 0.0),
+        "valid": sel_valid,
+    }
+
+
+def encode_roi_targets(rois, gt_of_rois, coder: ResidualCoder):
+    """Canonical-frame regression targets (roi_head_template.py:116-147).
+
+    Transforms gt into each roi's canonical frame (center subtract, -yaw
+    rotate, heading difference wrapped with the flip rule), then encodes
+    against the size-only local anchor.
+    """
+    roi_center = rois[:, 0:3]
+    roi_yaw = rois[:, 6]
+    gt_local = gt_of_rois[:, :7].at[:, 0:3].add(-roi_center)
+    gt_local = gt_local.at[:, 6].add(-roi_yaw)
+    xyz = rotate_points_along_z(gt_local[:, None, 0:3], -roi_yaw)[:, 0]
+    gt_local = gt_local.at[:, 0:3].set(xyz)
+    heading = limit_period(gt_local[:, 6], offset=0.5, period=jnp.pi * 2)
+    # flip heading into (-pi/2, pi/2] so regression is well-conditioned
+    flip = (heading > jnp.pi / 2) | (heading < -jnp.pi / 2)
+    heading = jnp.where(flip, heading - jnp.sign(heading) * jnp.pi, heading)
+    gt_local = gt_local.at[:, 6].set(heading)
+    local_anchor = jnp.concatenate(
+        [jnp.zeros_like(rois[:, 0:3]), rois[:, 3:6], jnp.zeros_like(rois[:, 6:7])],
+        axis=-1,
+    )
+    return coder.encode(gt_local, local_anchor), gt_local
+
+
+def decode_roi_boxes(rois, rcnn_reg, coder: ResidualCoder):
+    """Inverse of encode_roi_targets (roi_head_template.py:269)."""
+    local_anchor = jnp.concatenate(
+        [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:6], jnp.zeros_like(rois[..., 6:7])],
+        axis=-1,
+    )
+    local = coder.decode(rcnn_reg, local_anchor)
+    xyz = rotate_points_along_z(local[..., None, 0:3], rois[..., 6])[..., 0, :]
+    out = local.at[..., 0:3].set(xyz + rois[..., 0:3])
+    out = out.at[..., 6].add(rois[..., 6])
+    return out
+
+
+# ----------------------------------------------------------------------------
+# grid pooling + towers
+# ----------------------------------------------------------------------------
+
+class GridPoolBranch(nn.Module):
+    """Pool multi-scale sparse features at roi grid points (roi_grid_pool).
+
+    Two scales (x_conv3 ds=4, x_conv4 ds=8), two query groups per scale
+    (config QUERY_RANGES/POOL_RADIUS), pre-MLP then grouped MLP + max-pool.
+    """
+
+    voxel_size: Tuple[float, float, float]
+    point_cloud_range: Tuple[float, ...]
+    grid_size: int = 6
+    nsample: int = 16
+    mlp_channels: int = 32
+    scale_specs: Tuple = (
+        ("x_conv3", 4, ((2, 2, 2), 0.4), ((4, 4, 4), 0.8)),
+        ("x_conv4", 8, ((2, 2, 2), 0.8), ((4, 4, 4), 1.6)),
+    )
+
+    @nn.compact
+    def __call__(self, rois, backbone_out, suffix: str = ""):
+        """rois: (B, R, 7). Returns (B, R, grid^3 * C_total)."""
+        b, r = rois.shape[:2]
+        g3 = self.grid_size ** 3
+        grid_pts = jax.vmap(lambda rb: pool.roi_grid_points(rb, self.grid_size))(rois)
+        queries = grid_pts.reshape(b, r * g3, 3)
+
+        per_scale = []
+        for name, ds, *groups in self.scale_specs:
+            feats, keys, grid = backbone_out[name + suffix]
+            pre = nn.Dense(self.mlp_channels, name=f"pre_{name}")(feats)
+            pre = nn.relu(pre)
+            for gi, (qrange, radius) in enumerate(groups):
+                def q_one(qxyz, k):
+                    return pool.voxel_query(
+                        qxyz, k, grid, self.voxel_size, self.point_cloud_range,
+                        ds, tuple(qrange), radius, self.nsample,
+                    )
+
+                idx, valid, centers = jax.vmap(q_one)(queries, keys)
+                rel = centers - queries[:, :, None, :]
+                mlp = nn.Sequential([
+                    nn.Dense(self.mlp_channels), nn.relu,
+                    nn.Dense(self.mlp_channels), nn.relu,
+                ], name=f"mlp_{name}_{gi}")
+                pooled = jax.vmap(pool.group_and_pool, in_axes=(0, 0, 0, 0, None))(
+                    pre, idx, valid, rel, mlp
+                )
+                per_scale.append(pooled)  # (B, R*g3, mlp_channels)
+        cat = jnp.concatenate(per_scale, axis=-1)  # (B, R*g3, C_total)
+        return cat.reshape(b, r, g3 * cat.shape[-1])
+
+
+class FCTower(nn.Module):
+    hidden: Tuple[int, ...] = (256, 256)
+    out_dim: int = 1
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(h, name=f"fc{i}")(x)
+            x = nn.relu(x)
+            if self.dropout > 0 and i == 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.out_dim, name="out")(x)
+
+
+class VoxelRCNNProtoHead(nn.Module):
+    """Dual-branch RoI head with prototype distillation (voxel_rcnn_head.py:16-662)."""
+
+    num_rois: int = 500
+    roi_per_image: int = 130
+    grid_size: int = 6
+    voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.15)
+    point_cloud_range: Tuple[float, ...] = (-75.2, -75.2, -2.0, 75.2, 75.2, 4.0)
+    mm: bool = True
+    shared_fc: Tuple[int, ...] = (256, 256)
+    dp_ratio: float = 0.3
+    proto_ramp_steps: int = 5000
+    proto_weight: float = 0.2
+
+    def setup(self):
+        self.coder = ResidualCoder(code_size=7)
+        self.pool_branch = GridPoolBranch(
+            self.voxel_size, self.point_cloud_range, self.grid_size
+        )
+        self.shared0 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
+                                      nn.Dense(self.shared_fc[1]), nn.relu])
+        self.cls_tower0 = FCTower(out_dim=1, dropout=self.dp_ratio)
+        self.reg_tower0 = FCTower(out_dim=7, dropout=self.dp_ratio)
+        if self.mm:
+            self.pool_branch_mm = GridPoolBranch(
+                self.voxel_size, self.point_cloud_range, self.grid_size
+            )
+            self.shared1 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
+                                          nn.Dense(self.shared_fc[1]), nn.relu])
+            self.cls_tower1 = FCTower(out_dim=1, dropout=self.dp_ratio)
+            self.reg_tower1 = FCTower(out_dim=7, dropout=self.dp_ratio)
+
+    def __call__(self, proposals, backbone_out, batch, train: bool):
+        if train:
+            rng = self.make_rng("sampling")
+            rngs = jax.random.split(rng, proposals["rois"].shape[0])
+            targets = jax.vmap(
+                lambda r, ro, sc, lb, v, gt, gv, css: sample_rois_for_rcnn(
+                    r, ro, sc, lb, v, gt, gv, css, roi_per_image=self.roi_per_image
+                )
+            )(
+                rngs,
+                proposals["rois"], proposals["roi_scores"], proposals["roi_labels"],
+                proposals["roi_valid"], batch["gt_boxes"], batch["gt_valid"],
+                batch.get("css_score", jnp.ones(batch["gt_boxes"].shape[:2])),
+            )
+            rois = targets["rois"]
+            roi_labels = targets["roi_labels"]
+            roi_valid = targets["valid"]
+        else:
+            targets = None
+            rois = proposals["rois"]
+            roi_labels = proposals["roi_labels"]
+            roi_valid = proposals["roi_valid"]
+
+        pooled0 = self.pool_branch(rois, backbone_out, "")
+        shared0 = self.shared0(pooled0)
+        rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
+        rcnn_reg = self.reg_tower0(shared0, train)
+        out = {
+            "rcnn_cls": rcnn_cls,
+            "rcnn_reg": rcnn_reg,
+            "shared_features0": shared0,
+            "rois": rois,
+            "roi_labels": roi_labels,
+            "roi_valid": roi_valid,
+        }
+        if train:
+            out["roi_targets"] = targets
+        if train and self.mm and ("x_conv3_mm" in backbone_out):
+            pooled1 = self.pool_branch_mm(rois, backbone_out, "_mm")
+            shared1 = self.shared1(pooled1)
+            out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]
+            out["rcnn_reg_proto"] = self.reg_tower1(shared1, train)
+            out["shared_features1"] = shared1
+        if not train:
+            out["batch_box_preds"] = decode_roi_boxes(rois, rcnn_reg, self.coder)
+            out["batch_cls_preds"] = rcnn_cls[..., None]
+        return out
+
+    # ---- losses -----------------------------------------------------------
+
+    def get_loss(self, out, batch):
+        """CSS-weighted rcnn losses + proto consistency (voxel_rcnn_head.py:388-579)."""
+        t = out["roi_targets"]
+        rois = out["rois"]
+        b, r = rois.shape[:2]
+        flat = lambda x: x.reshape((b * r,) + x.shape[2:])
+        reg_targets, gt_local = jax.vmap(
+            lambda rb, gb: encode_roi_targets(rb, gb, self.coder)
+        )(rois, t["gt_of_rois"])
+
+        css = t["css"]
+        valid = t["valid"]
+        reg_mask = t["reg_valid_mask"].astype(jnp.float32) * css  # outline_reg_mask
+
+        # cls: BCE on soft IoU labels, CSS-weighted for positives
+        cls_w = jnp.where(t["reg_valid_mask"], css, 1.0) * valid.astype(jnp.float32)
+        def cls_loss_fn(logits):
+            bce = loss_utils.binary_cross_entropy_with_logits(logits, t["cls_labels"])
+            return jnp.sum(bce * cls_w) / jnp.clip(jnp.sum(cls_w), min=1.0)
+
+        def reg_loss_fn(reg_pred):
+            l = loss_utils.weighted_smooth_l1_loss(reg_pred, reg_targets, reg_mask)
+            loss = jnp.sum(l) / jnp.clip(jnp.sum(reg_mask), min=1.0)
+            decoded = decode_roi_boxes(rois, reg_pred, self.coder)
+            corner = jax.vmap(loss_utils.corner_loss_lidar)(
+                decoded, t["gt_of_rois"][..., :7], reg_mask
+            )
+            return loss + jnp.sum(corner) / jnp.clip(jnp.sum(reg_mask), min=1.0)
+
+        cls0 = cls_loss_fn(out["rcnn_cls"])
+        reg0 = reg_loss_fn(out["rcnn_reg"])
+        total = cls0 + reg0
+        tb = {"rcnn_cls0": cls0, "rcnn_reg0": reg0}
+
+        if "rcnn_cls_proto" in out:
+            cls1 = cls_loss_fn(out["rcnn_cls_proto"])
+            reg1 = reg_loss_fn(out["rcnn_reg_proto"])
+            total = total + 0.5 * (cls1 + reg1)
+            tb.update({"rcnn_cls1": cls1, "rcnn_reg1": reg1})
+            # proto consistency: bb_loss(pred0, gt)*css + bb_loss(pred0, sg(pred1))*css
+            # + negative-cosine feature consistency, iteration-ramped weight
+            pred0 = decode_roi_boxes(rois, out["rcnn_reg"], self.coder)
+            pred1 = decode_roi_boxes(rois, out["rcnn_reg_proto"], self.coder)
+            w = reg_mask
+            bb_gt = loss_utils.bb_loss(pred0, t["gt_of_rois"][..., :7]) * w
+            bb_cons = loss_utils.bb_loss(pred0, jax.lax.stop_gradient(pred1)) * w
+            feat_cons = loss_utils.cosine_consistency_loss(
+                out["shared_features0"], out["shared_features1"], mask=valid
+            )
+            denom = jnp.clip(jnp.sum(w), min=1.0)
+            proto = (jnp.sum(bb_gt) + jnp.sum(bb_cons)) / denom + feat_cons
+            it = batch.get("cur_it", jnp.asarray(self.proto_ramp_steps, jnp.float32))
+            ramp = jnp.clip(it / self.proto_ramp_steps, min=0.0, max=1.0)
+            pw = 1e-5 + ramp * self.proto_weight
+            total = total + pw * proto
+            tb["proto_loss"] = proto
+        return total, tb

@@ -264,6 +264,41 @@ def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
     return jnp.where(rulebook.out_valid[:, None], out, 0.0)
 
 
+def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None):
+    """Batched sparse conv: features (B, V_in, Cin), rulebook fields with a
+    leading batch axis -> (B, V_out, Cout). One big (B*V_out, K*Cin) GEMM."""
+    b, v_out, k = rulebook.idx.shape
+    cin = features.shape[-1]
+    cout = weights.shape[-1]
+    idx_flat = rulebook.idx.reshape(b, v_out * k)
+    gathered = jnp.take_along_axis(features, idx_flat[..., None], axis=1)
+    gathered = gathered.reshape(b, v_out, k, cin)
+    gathered = jnp.where(rulebook.found[..., None], gathered, 0)
+    out = jax.lax.dot_general(
+        gathered.reshape(b * v_out, k * cin),
+        weights.reshape(k * cin, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, v_out, cout)
+    if bias is not None:
+        out = out + bias
+    return jnp.where(rulebook.out_valid[..., None], out, 0.0)
+
+
+def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3)) -> Rulebook:
+    """vmap of build_subm_rulebook over a leading batch axis of keys (B, V)."""
+    return jax.vmap(lambda k: build_subm_rulebook(k, grid, kernel))(keys)
+
+
+def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, out_cap):
+    """vmap of build_conv_rulebook over batch; returns (Rulebook with B axis, out_grid)."""
+    out_grid = grid.downsample(stride, padding, kernel)
+    rb = jax.vmap(
+        lambda k: _build_conv_rulebook_jit(k, grid, out_grid, kernel, stride, padding, out_cap)
+    )(keys)
+    return rb, out_grid
+
+
 @partial(jax.jit, static_argnames=("grid", "channels"))
 def to_dense(features, keys, grid: GridSpec, channels: int):
     """Scatter a sparse tensor into a dense (nz, ny, nx, C) grid (spconv .dense())."""
