@@ -1,0 +1,79 @@
+"""Multi-device data-parallel training on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpd_tpu.parallel import build_optimizer, init_state, make_mesh, make_train_step, make_eval_step
+from cpd_tpu.parallel.trainer import onecycle_momentum_schedule
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_onecycle_momentum():
+    sched = onecycle_momentum_schedule(100, (0.95, 0.85), 0.4)
+    assert abs(float(sched(0)) - 0.95) < 1e-6
+    assert abs(float(sched(40)) - 0.85) < 1e-6
+    assert abs(float(sched(100)) - 0.95) < 1e-6
+
+
+def test_optimizer_onecycle_lr_peaks():
+    import optax
+
+    tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003, "PCT_START": 0.4}, 100)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    # step through and ensure updates stay finite
+    for _ in range(5):
+        g = {"w": jnp.ones((4,))}
+        up, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, up)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+def test_sharded_train_step_matches_single_device():
+    """One DP train step on the 8-device mesh must produce finite loss and
+    update params identically (up to tolerance) to the unsharded step."""
+    import __graft_entry__ as ge
+
+    model_cls = ge.VoxelRCNN
+    model = model_cls(**ge._TINY)
+    batch = ge._make_batch(b=8, p=512, seed=1)
+    tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 100)
+    state0 = init_state(model, batch, tx, rng=jax.random.PRNGKey(7))
+
+    step_single = make_train_step(model, mesh=None, donate=False)
+    s1, tb1 = step_single(state0, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    step_sharded = make_train_step(model, mesh, donate=False)
+    with mesh:
+        s2, tb2 = step_sharded(state0, batch, jax.random.PRNGKey(0))
+
+    l1, l2 = float(tb1["total_loss"]), float(tb2["total_loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-3)
+    # parameters after the step agree
+    f1 = jax.tree_util.tree_leaves(s1.params)
+    f2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(f1, f2):
+        # reduction order differs across shardings; adam amplifies tiny grad
+        # deltas where the second moment is near zero -- allow small drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+def test_eval_step_sharded():
+    import __graft_entry__ as ge
+
+    model = ge.VoxelRCNN(**ge._TINY)
+    batch = ge._make_batch(b=8, p=512, seed=2)
+    tx = build_optimizer({"OPTIMIZER": "adam"}, 10)
+    state = init_state(model, batch, tx)
+    mesh = make_mesh(8)
+    eval_step = make_eval_step(model, mesh)
+    with mesh:
+        preds = eval_step(state, batch)
+    assert preds["pred_boxes"].shape[0] == 8
+    assert np.all(np.isfinite(np.asarray(preds["pred_boxes"])))
