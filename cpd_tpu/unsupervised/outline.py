@@ -1,0 +1,376 @@
+"""Outline fitting toolbox: clustering, min-area boxes, refinement primitives.
+
+Parity with cpd/unsupervised_core/outline_utils.py (1.2k LoC): DBSCAN
+clustering (:789), minimum bounding rectangle via rotating calipers
+(:609,:703), density_guided_drift (:41), corner_align (:94),
+correct_orientation (:127), correct_heading (:444), voxel_sampling (:368),
+smooth_points (:391), hierarchical occupancy score (:438 MLO),
+KL_entropy_score (:25), size-prior classification get_box_cls (:891),
+box_fit / box_fit_DGD (:809,:848). All fresh NumPy/SciPy implementations of
+the same documented geometry.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import ConvexHull, cKDTree
+
+# size priors (meters, l/w/h) per class -- the commonsense sizes CPD uses
+PREDEFINED_SIZE = {
+    "Vehicle": (4.7, 2.1, 1.7),
+    "Pedestrian": (0.91, 0.86, 1.73),
+    "Cyclist": (1.78, 0.84, 1.78),
+}
+CLASS_IDS = {"Vehicle": 1, "Pedestrian": 2, "Cyclist": 3}
+
+
+# ---------------------------------------------------------------------------
+# clustering
+# ---------------------------------------------------------------------------
+
+def dbscan_cluster(points: np.ndarray, eps: float = 0.7, min_samples: int = 10):
+    """Density clustering on xy(z): returns labels (N,), -1 = noise.
+
+    Uses sklearn's DBSCAN when available (the reference does,
+    outline_utils.py:789), else a cKDTree BFS fallback with identical
+    semantics.
+    """
+    if len(points) == 0:
+        return np.zeros((0,), np.int32)
+    try:
+        from sklearn.cluster import DBSCAN
+
+        return DBSCAN(eps=eps, min_samples=min_samples).fit(points[:, :3]).labels_.astype(np.int32)
+    except Exception:
+        return _dbscan_bfs(points[:, :3], eps, min_samples)
+
+
+def _dbscan_bfs(x, eps, min_samples):
+    tree = cKDTree(x)
+    neigh = tree.query_ball_point(x, eps)
+    core = np.array([len(n) >= min_samples for n in neigh])
+    labels = np.full(len(x), -1, np.int32)
+    cid = 0
+    for i in range(len(x)):
+        if labels[i] != -1 or not core[i]:
+            continue
+        stack = [i]
+        labels[i] = cid
+        while stack:
+            j = stack.pop()
+            if not core[j]:
+                continue
+            for k in neigh[j]:
+                if labels[k] == -1:
+                    labels[k] = cid
+                    stack.append(k)
+        cid += 1
+    return labels
+
+
+def clustering(points: np.ndarray, eps: float = 0.7, min_samples: int = 10,
+               min_points: int = 10, max_height: float = 4.0) -> List[np.ndarray]:
+    """Cluster non-ground points into object candidates (OutlineFitter.clustering):
+    filters clusters by size and vertical extent; returns list of point arrays."""
+    labels = dbscan_cluster(points, eps, min_samples)
+    out = []
+    for cid in range(labels.max() + 1 if len(labels) else 0):
+        m = labels == cid
+        if m.sum() < min_points:
+            continue
+        pts = points[m]
+        if pts[:, 2].max() - pts[:, 2].min() > max_height:
+            continue
+        out.append(pts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimum-area rectangle (rotating calipers on the convex hull)
+# ---------------------------------------------------------------------------
+
+def minimum_bounding_rectangle(xy: np.ndarray, criterion: str = "area"):
+    """Min bounding rect of 2D points.
+
+    criterion 'area' = classic min-area; 'distance' = the reference's
+    edge-distance objective (minimum_bounding_rectangle_distance,
+    outline_utils.py:703) preferring rectangles whose edges hug the points
+    (better for L-shaped vehicle observations).
+    Returns (center (2,), (l, w), yaw).
+    """
+    xy = np.asarray(xy, np.float64)
+    if len(xy) == 1:
+        return xy[0], (0.1, 0.1), 0.0
+    if len(xy) == 2:
+        d = xy[1] - xy[0]
+        return xy.mean(0), (max(np.linalg.norm(d), 0.1), 0.1), float(np.arctan2(d[1], d[0]))
+    try:
+        hull = ConvexHull(xy)
+        hp = xy[hull.vertices]
+    except Exception:
+        # degenerate (collinear): PCA direction
+        c = xy.mean(0)
+        u, s, vt = np.linalg.svd(xy - c)
+        yaw = float(np.arctan2(vt[0, 1], vt[0, 0]))
+        proj = (xy - c) @ vt.T
+        return c, (max(np.ptp(proj[:, 0]), 0.1), max(np.ptp(proj[:, 1]), 0.1)), yaw
+
+    edges = np.roll(hp, -1, axis=0) - hp
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    cands = []
+    areas, dists = [], []
+    for ang in angles:
+        c, s = np.cos(-ang), np.sin(-ang)
+        rot = np.array([[c, -s], [s, c]])
+        r = hp @ rot.T
+        mins, maxs = r.min(0), r.max(0)
+        dims = maxs - mins
+        area = dims[0] * dims[1]
+        d_edges = np.stack([
+            r[:, 0] - mins[0], maxs[0] - r[:, 0],
+            r[:, 1] - mins[1], maxs[1] - r[:, 1],
+        ], axis=1)
+        edge_dist = np.mean(np.min(d_edges, axis=1))
+        center = ((mins + maxs) / 2) @ rot  # rotate back
+        cands.append((center, dims, ang))
+        areas.append(area)
+        dists.append(edge_dist)
+    areas = np.asarray(areas)
+    dists = np.asarray(dists)
+    if criterion == "area":
+        cost = areas
+    else:
+        # min-max normalize both objectives across candidate angles, then sum
+        # (the reference's edge-hugging objective, outline_utils.py:663-686)
+        a = (areas - areas.min()) / (np.ptp(areas) + 1e-4)
+        d = (dists - dists.min()) / (np.ptp(dists) + 1e-4)
+        cost = a + d
+    center, dims, ang = cands[int(np.argmin(cost))]
+    if dims[0] < dims[1]:  # force l >= w, rotate 90 deg
+        dims = dims[::-1]
+        ang = ang + np.pi / 2
+    return center, (float(max(dims[0], 0.05)), float(max(dims[1], 0.05))), float(ang)
+
+
+# ---------------------------------------------------------------------------
+# box fitting + refinement primitives
+# ---------------------------------------------------------------------------
+
+def box_fit(cluster: np.ndarray, criterion: str = "distance") -> np.ndarray:
+    """Fit a 7-dof box to a cluster (OutlineFitter.box_fit)."""
+    center_xy, (l, w), yaw = minimum_bounding_rectangle(cluster[:, :2], criterion)
+    zmin, zmax = cluster[:, 2].min(), cluster[:, 2].max()
+    h = max(zmax - zmin, 0.1)
+    return np.array([center_xy[0], center_xy[1], (zmin + zmax) / 2, l, w, h, yaw], np.float32)
+
+
+def density_guided_drift(box: np.ndarray, cluster: np.ndarray,
+                         size_prior: Optional[Tuple[float, float]] = None) -> np.ndarray:
+    """Shift the box center along its axes so the far (occluded) side extends
+    away from the densely observed side (outline_utils.py:41).
+
+    LiDAR sees the near faces; when a size prior enlarges the box, the extra
+    extent should grow AWAY from the sensor-facing observed surface.
+    """
+    box = box.copy()
+    c, s = np.cos(box[6]), np.sin(box[6])
+    rel = cluster[:, :2] - box[:2]
+    local_x = rel[:, 0] * c + rel[:, 1] * s
+    local_y = -rel[:, 0] * s + rel[:, 1] * c
+    if size_prior is not None:
+        l, w = size_prior
+    else:
+        l, w = box[3], box[4]
+    # anchor the box so the observed extremes touch the corresponding face
+    for axis, vals, dim in ((0, local_x, l), (1, local_y, w)):
+        lo, hi = vals.min(), vals.max()
+        # which side is observed? the one with more points near the extreme
+        near_lo = np.sum(vals < lo + 0.15 * (hi - lo + 1e-6))
+        near_hi = np.sum(vals > hi - 0.15 * (hi - lo + 1e-6))
+        if near_lo >= near_hi:
+            shift = (lo + dim / 2) if dim > (hi - lo) else (lo + hi) / 2
+        else:
+            shift = (hi - dim / 2) if dim > (hi - lo) else (lo + hi) / 2
+        if axis == 0:
+            box[0] += shift * c
+            box[1] += shift * s
+            box[3] = dim
+        else:
+            box[0] += -shift * s
+            box[1] += shift * c
+            box[4] = dim
+    return box
+
+
+def corner_align(box: np.ndarray, new_l: float, new_w: float) -> np.ndarray:
+    """Resize the box keeping its nearest-to-sensor corner fixed
+    (outline_utils.py:94 / oyster.py:89)."""
+    box = box.copy()
+    c, s = np.cos(box[6]), np.sin(box[6])
+    # corners in local frame
+    sx = np.array([1, 1, -1, -1]) * box[3] / 2
+    sy = np.array([1, -1, 1, -1]) * box[4] / 2
+    cx = box[0] + sx * c - sy * s
+    cy = box[1] + sx * s + sy * c
+    d = np.hypot(cx, cy)
+    k = int(np.argmin(d))
+    # keep corner k fixed while changing dims
+    new_sx = np.sign(sx[k]) * new_l / 2
+    new_sy = np.sign(sy[k]) * new_w / 2
+    new_cx = cx[k] - (new_sx * c - new_sy * s)
+    new_cy = cy[k] - (new_sx * s + new_sy * c)
+    box[0], box[1], box[3], box[4] = new_cx, new_cy, new_l, new_w
+    return box
+
+
+def correct_orientation(box: np.ndarray, cluster: np.ndarray) -> np.ndarray:
+    """Refine yaw by line-fitting the densest observed edge
+    (outline_utils.py:127 edge-regression)."""
+    box = box.copy()
+    rel = cluster[:, :2] - box[:2]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    lx = rel[:, 0] * c + rel[:, 1] * s
+    ly = -rel[:, 0] * s + rel[:, 1] * c
+    # points near the long edges (|ly| ~ w/2)
+    edge = np.abs(np.abs(ly) - box[4] / 2) < 0.15
+    if edge.sum() >= 8 and np.ptp(lx[edge]) > 1.0:
+        a, b = np.polyfit(lx[edge], ly[edge], 1)
+        dyaw = np.arctan(a)
+        if abs(dyaw) < np.deg2rad(15):
+            box[6] += dyaw
+    return box
+
+
+def correct_heading(box: np.ndarray, cluster: np.ndarray) -> np.ndarray:
+    """Resolve the front/back 180-deg ambiguity from the z profile
+    (outline_utils.py:444): vehicle fronts (hood) are lower than rears."""
+    box = box.copy()
+    rel = cluster[:, :2] - box[:2]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    lx = rel[:, 0] * c + rel[:, 1] * s
+    front = lx > 0
+    if 5 <= front.sum() <= len(cluster) - 5:
+        z_front = np.percentile(cluster[front, 2], 90)
+        z_back = np.percentile(cluster[~front, 2], 90)
+        if z_front > z_back + 0.2:  # high side should be the back
+            box[6] += np.pi
+    return box
+
+
+def box_fit_DGD(cluster: np.ndarray) -> np.ndarray:
+    """MFCF's fit: min-rect (distance criterion) + density-guided drift +
+    orientation + heading correction (outline_utils.py:848)."""
+    box = box_fit(cluster, criterion="distance")
+    box = correct_orientation(box, cluster)
+    box = density_guided_drift(box, cluster)
+    box = correct_heading(box, cluster)
+    return box
+
+
+# ---------------------------------------------------------------------------
+# sampling / smoothing / scoring
+# ---------------------------------------------------------------------------
+
+def voxel_sampling(points: np.ndarray, voxel: float = 0.1) -> np.ndarray:
+    """Deduplicate points on a voxel grid (outline_utils.py:368)."""
+    if len(points) == 0:
+        return points
+    keys = np.floor(points[:, :3] / voxel).astype(np.int64)
+    _, idx = np.unique(keys, axis=0, return_index=True)
+    return points[np.sort(idx)]
+
+
+def smooth_points(points: np.ndarray, k: int = 10, std_factor: float = 2.0) -> np.ndarray:
+    """kNN density outlier removal (outline_utils.py:391)."""
+    if len(points) <= k:
+        return points
+    tree = cKDTree(points[:, :3])
+    d, _ = tree.query(points[:, :3], k=min(k + 1, len(points)))
+    mean_d = d[:, 1:].mean(axis=1)
+    keep = mean_d < mean_d.mean() + std_factor * mean_d.std()
+    return points[keep]
+
+
+def compute_occupancy(points: np.ndarray, box: np.ndarray, parts: int) -> float:
+    """Fraction of occupied cells in a parts x parts BEV grid over the box."""
+    if len(points) == 0:
+        return 0.0
+    rel = points[:, :2] - box[:2]
+    c, s = np.cos(box[6]), np.sin(box[6])
+    lx = rel[:, 0] * c + rel[:, 1] * s
+    ly = -rel[:, 0] * s + rel[:, 1] * c
+    gx = np.floor((lx / max(box[3], 1e-3) + 0.5) * parts).astype(int)
+    gy = np.floor((ly / max(box[4], 1e-3) + 0.5) * parts).astype(int)
+    ok = (gx >= 0) & (gx < parts) & (gy >= 0) & (gy < parts)
+    occ = len(set(zip(gx[ok].tolist(), gy[ok].tolist())))
+    return occ / (parts * parts)
+
+
+def hierarchical_occupancy_score(points: np.ndarray, box: np.ndarray,
+                                 parts=(9, 7, 5)) -> float:
+    """Multi-Level Occupancy (MLO) score (outline_utils.py:438): mean
+    occupancy over several grid resolutions, normalized so half-occupied
+    (one visible side) maps near 1."""
+    scores = [min(compute_occupancy(points, box, p) * 2.0, 1.0) for p in parts]
+    return float(np.mean(scores))
+
+
+def KL_entropy_score(size: np.ndarray, prior: np.ndarray, sigma=(0.4, 0.2, 0.2)) -> float:
+    """Size-prior agreement score (outline_utils.py:25): gaussian divergence
+    of (l, w, h) vs the class prior -> (0, 1]."""
+    size = np.asarray(size, np.float64)
+    prior = np.asarray(prior, np.float64)
+    d2 = ((size - prior) ** 2) / (2 * np.asarray(sigma) ** 2)
+    return float(np.exp(-np.mean(d2)))
+
+
+def distance_score(box: np.ndarray, max_dist: float = 75.0) -> float:
+    """Nearer objects are observed better (CSS distance term)."""
+    d = np.hypot(box[0], box[1])
+    return float(np.clip(1.0 - d / max_dist, 0.0, 1.0))
+
+
+def get_box_cls(box: np.ndarray, n_points: int = 100) -> str:
+    """Size-prior classification (outline_utils.py:891) into
+    Vehicle / Pedestrian / Cyclist / Dis_Small / Dis_Large."""
+    l, w, h = box[3], box[4], box[5]
+    if l > 9.0 or w > 3.2 or h > 3.6:
+        return "Dis_Large"
+    if l < 0.3 or h < 0.35 or l * w * h < 0.05:
+        return "Dis_Small"
+    if l > 2.7 and l <= 9.0 and w <= 3.2 and h <= 3.0 and l / max(w, 1e-3) > 1.2:
+        return "Vehicle"
+    if l <= 1.2 and w <= 1.2 and 1.2 <= h <= 2.2:
+        return "Pedestrian"
+    if l <= 2.7 and w <= 1.2 and 0.8 <= h <= 2.2 and l / max(w, 1e-3) > 1.3:
+        return "Cyclist"
+    if l <= 2.2 and w <= 2.2 and h <= 2.2:
+        return "Pedestrian" if l / max(w, 1e-3) < 1.3 and h >= 1.2 else "Dis_Small"
+    return "Vehicle" if l > 2.2 else "Dis_Small"
+
+
+def drop_cls(names: np.ndarray, keep=("Vehicle", "Pedestrian", "Cyclist")):
+    return np.array([n in keep for n in names], bool)
+
+
+# rigid transforms shared with the tracker/refiner
+def points_rigid_transform(points, pose):
+    from .ppscore import points_rigid_transform as f
+
+    return f(points, pose)
+
+
+def get_registration_angle(pose: np.ndarray) -> float:
+    """Yaw of a 4x4 pose (outline_utils.py:340)."""
+    return float(np.arctan2(pose[1, 0], pose[0, 0]))
+
+
+def box_rigid_transform(boxes: np.ndarray, pose: np.ndarray) -> np.ndarray:
+    """Apply a 4x4 pose to (N, 7+) boxes (centers + yaw; sizes invariant)."""
+    if len(boxes) == 0:
+        return boxes
+    out = boxes.copy()
+    out[:, :3] = points_rigid_transform(boxes[:, :3], pose)[:, :3]
+    out[:, 6] += get_registration_angle(pose)
+    return out
