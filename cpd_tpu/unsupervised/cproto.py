@@ -78,19 +78,26 @@ class CProtoRefiner:
     """The 4-pass CProto refiner (c_proto_refine.py:46-682)."""
 
     def __init__(self, css: Optional[CSS] = None,
-                 basic_proto_thresh: float = 0.5,
-                 high_quality_num: int = 40,
+                 basic_proto_thresh=0.5,
+                 high_quality_num=40,
                  static_thresh: float = 0.5,
                  orien_thresh: float = 0.6,
                  motion_window: int = 10,
                  min_proto_points: int = 50):
         self.css = css or CSS()
+        # per-class dicts accepted (reference cfg BasicProtoScoreThresh /
+        # HighQualityProtoNum are {'Vehicle':..,'Pedestrian':..,'Cyclist':..})
         self.basic_proto_thresh = basic_proto_thresh
         self.high_quality_num = high_quality_num
         self.static_thresh = static_thresh
         self.orien_thresh = orien_thresh
         self.motion_window = motion_window
         self.min_proto_points = min_proto_points
+
+    def _cls_param(self, param, cls, default):
+        if isinstance(param, dict):
+            return param.get(cls, default)
+        return param
 
     # -- pass 1 ----------------------------------------------------------
     def compute_css_and_banks(self, frames, labels):
@@ -119,7 +126,8 @@ class CProtoRefiner:
                 track_entries.setdefault(tid, []).append(
                     (f, i, float(css_scores[i]), world_box, str(lab["outline_cls"][i]))
                 )
-                if css_scores[i] > self.basic_proto_thresh and len(obj) >= 10:
+                thr = self._cls_param(self.basic_proto_thresh, str(lab["outline_cls"][i]), 0.5)
+                if css_scores[i] > thr and len(obj) >= 10:
                     canon = box_frame_transform(obj, box)
                     track_banks.setdefault(tid, []).append((f, float(css_scores[i]), canon))
             lab["outline_box"] = boxes.astype(np.float32)
@@ -164,7 +172,7 @@ class CProtoRefiner:
             if len(p["points"]) >= self.min_proto_points:
                 hq.setdefault(p["cls"], []).append((p["css"], tid))
         hq_ids = {
-            c: [tid for _, tid in sorted(v, reverse=True)[: self.high_quality_num]]
+            c: [tid for _, tid in sorted(v, reverse=True)[: self._cls_param(self.high_quality_num, c, 40)]]
             for c, v in hq.items()
         }
         return protos, hq_ids

@@ -105,10 +105,15 @@ def compute_outline_box(seq_name: str, root_path, config: dict,
     if refine_name == "C_PROTO":
         ref_cfg = config.get("RefinerConfig", {})
         css_cfg = ref_cfg.get("CSSConfig", {})
+        sizes = css_cfg.get("PredifinedSize")  # reference cfg key (sic)
+        if sizes is not None:
+            sizes = {k: tuple(v) for k, v in sizes.items()}
         refiner = CProtoRefiner(
-            css=CSS(mlo_parts=tuple(css_cfg.get("MLOParts", (9, 7, 5)))),
-            basic_proto_thresh=float(ref_cfg.get("BasicProtoScoreThresh", 0.5)),
-            high_quality_num=int(ref_cfg.get("HighQualityProtoNum", 40)),
+            css=CSS(mlo_parts=tuple(css_cfg.get("MLOParts", (9, 7, 5))),
+                    predefined_size=sizes),
+            basic_proto_thresh=ref_cfg.get("BasicProtoScoreThresh", 0.5),
+            high_quality_num=ref_cfg.get("HighQualityProtoNum", 40),
+            static_thresh=float(ref_cfg.get("HighQualityMotionThresh", 0.5)),
             orien_thresh=float(ref_cfg.get("OrienThresh", 0.6)),
         )
         labels, proto_points = refiner(frames, labels)
@@ -116,6 +121,14 @@ def compute_outline_box(seq_name: str, root_path, config: dict,
     if out_path is not None:
         with open(out_path, "wb") as f:
             pickle.dump(labels, f)
-        with open(seq_dir / f"{seq_name}_CSS_proto.pkl", "wb") as f:
-            pickle.dump(proto_points, f)
+        # per-class proto bank layout consumed by sample_prototype
+        # (reference: <seq>_outline_<Init>_CSS_proto.pkl, 'proto_points_set')
+        by_cls: Dict[str, dict] = {}
+        for f_id, lab in labels.items():
+            for tid, cls in zip(lab["outline_ids"], lab["outline_cls"]):
+                tid = int(tid)
+                if tid in proto_points:
+                    by_cls.setdefault(str(cls), {})[tid] = {"points": proto_points[tid]}
+        with open(seq_dir / f"{seq_name}_outline_{init_name}_CSS_proto.pkl", "wb") as f:
+            pickle.dump({"proto_points_set": by_cls}, f)
     return labels

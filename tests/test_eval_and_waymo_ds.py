@@ -1,0 +1,192 @@
+"""Evaluation metrics + Waymo dataset round-trip on a synthetic processed sequence."""
+import pickle
+import numpy as np
+import pytest
+
+from cpd_tpu.evaluation import waymo_style_eval, kitti_style_eval, average_precision
+from . import oracles
+
+
+def _mk_annos(n_frames=4, n_obj=5, perfect=True, seed=0):
+    rng = np.random.default_rng(seed)
+    dets, gts = [], []
+    for f in range(n_frames):
+        boxes = oracles.random_boxes(n_obj, rng, span=30).astype(np.float32)
+        names = np.asarray(["Vehicle"] * n_obj)
+        gts.append({
+            "frame_id": f, "gt_boxes_lidar": boxes, "name": names,
+            "num_points_in_gt": np.full(n_obj, 50), "difficulty": np.zeros(n_obj),
+        })
+        if perfect:
+            db, ds = boxes.copy(), np.linspace(0.9, 0.5, n_obj)
+        else:
+            db = boxes[: n_obj // 2].copy()
+            ds = np.linspace(0.9, 0.5, len(db))
+        dets.append({"frame_id": f, "boxes_lidar": db, "score": ds, "name": names[: len(db)]})
+    return dets, gts
+
+
+def test_waymo_eval_perfect_detections():
+    dets, gts = _mk_annos(perfect=True)
+    s, r = waymo_style_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_L1/AP"] > 99.0
+    assert r["Vehicle_L2/AP"] > 99.0
+    assert r["Vehicle_L2/APH"] > 99.0
+
+
+def test_waymo_eval_half_recall():
+    dets, gts = _mk_annos(perfect=False)
+    _, r = waymo_style_eval(dets, gts, ["Vehicle"])
+    assert 30.0 < r["Vehicle_L2/AP"] < 60.0
+
+
+def test_waymo_eval_l1_ignores_sparse_gt():
+    dets, gts = _mk_annos(perfect=True)
+    for g in gts:
+        g["num_points_in_gt"] = np.full(len(g["name"]), 3)  # all L2-only
+    _, r = waymo_style_eval(dets, gts, ["Vehicle"])
+    # no L1 gts -> AP L1 is 0 by convention; L2 still perfect
+    assert r["Vehicle_L1/AP"] == 0.0
+    assert r["Vehicle_L2/AP"] > 99.0
+
+
+def test_aph_penalizes_heading():
+    dets, gts = _mk_annos(perfect=True)
+    for d in dets:
+        d["boxes_lidar"][:, 6] += np.pi  # flipped heading
+    _, r = waymo_style_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_L2/AP"] > 99.0
+    assert r["Vehicle_L2/APH"] < 5.0
+
+
+def test_kitti_eval():
+    dets, gts = _mk_annos(perfect=True)
+    _, r = kitti_style_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_3d/moderate_R40"] > 99.0
+
+
+def test_average_precision_monotonic():
+    scores = np.array([0.9, 0.8, 0.7, 0.6])
+    tp = np.array([1, 1, 0, 1], bool)
+    fp = ~tp
+    ap_full = average_precision(scores, tp, fp, num_gt=3)
+    ap_half = average_precision(scores, tp, fp, num_gt=6)
+    assert ap_full > ap_half
+
+
+@pytest.fixture(scope="module")
+def synthetic_sequence(tmp_path_factory):
+    """Write a processed-layout synthetic sequence and run the label pipeline."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_unsupervised import make_scene, VEH, PED
+    from cpd_tpu.unsupervised.driver import compute_outline_box, save_ppscore
+
+    root = tmp_path_factory.mktemp("waymo_processed")
+    seq = "segment-0000"
+    seq_dir = root / seq
+    seq_dir.mkdir()
+    infos = []
+    n_frames = 6
+    for f in range(n_frames):
+        b = VEH.copy()
+        scene = make_scene([b, PED], n_ground=1500, rng=np.random.default_rng(50 + f))
+        # layout: (N, 6) with intensity/elongation/NLZ channels
+        pts = np.zeros((len(scene), 6), np.float32)
+        pts[:, :3] = scene
+        pts[:, 3] = np.random.default_rng(f).uniform(0, 1, len(scene))
+        pts[:, 5] = -1
+        np.save(seq_dir / f"{f:04d}.npy", pts)
+        infos.append({"pose": np.eye(4), "frame_id": f"{seq}_{f:03d}",
+                      "point_cloud": {"lidar_sequence": seq, "sample_idx": f},
+                      "annos": {"gt_boxes_lidar": np.stack([VEH, PED]),
+                                "name": np.asarray(["Vehicle", "Pedestrian"]),
+                                "num_points_in_gt": np.asarray([450, 450]),
+                                "difficulty": np.zeros(2)}})
+    with open(seq_dir / f"{seq}.pkl", "wb") as fh:
+        pickle.dump(infos, fh)
+    save_ppscore(seq_dir, window=2, max_range=5)
+    cfg = {
+        "InitLabelGenerator": "MFCF",
+        "LabelRefiner": "C_PROTO",
+        "GeneratorConfig": {"cluster_dis": 0.7, "cluster_min_points": 8,
+                            "ppscore_thresh": 0.7, "frame_num": 2},
+        "RefinerConfig": {"BasicProtoScoreThresh": {"Vehicle": 0.4, "Pedestrian": 0.4, "Cyclist": 0.4},
+                          "HighQualityProtoNum": {"Vehicle": 10, "Pedestrian": 5, "Cyclist": 5},
+                          "OrienThresh": 0.5,
+                          "CSSConfig": {"MLOParts": [9, 7, 5]}},
+    }
+    labels = compute_outline_box(seq, root, cfg)
+    return root, seq, labels
+
+
+def test_label_pipeline_writes_cache(synthetic_sequence):
+    root, seq, labels = synthetic_sequence
+    assert (root / seq / f"{seq}_outline_C_PROTO.pkl").exists()
+    assert (root / seq / f"{seq}_outline_MFCF_CSS_proto.pkl").exists()
+    n = sum(len(labels[f]["outline_box"]) for f in labels)
+    assert n >= 6
+
+
+def test_waymo_dataset_getitem_training(synthetic_sequence):
+    root, seq, labels = synthetic_sequence
+    from cpd_tpu.datasets.waymo_unsupervised import WaymoUnsupervisedDataset
+
+    cfg = {
+        "DATA_PATH": str(root), "PROCESSED_DATA_TAG": "",
+        "POINT_CLOUD_RANGE": [-75.2, -75.2, -2, 75.2, 75.2, 4],
+        "POINT_CAP": 8192, "GT_CAP": 32, "STAGES": 2,
+        "InitLabelGenerator": "MFCF", "LabelRefiner": "C_PROTO",
+        "NUM_FRAMES": 1,
+        "DATA_SPLIT": {"train": "train", "test": "val"},
+        "SAMPLED_INTERVAL": {"train": 1, "test": 1},
+        "RefinerConfig": {"DiscardThreshMin": {"Vehicle": 0.3, "Pedestrian": 0.3, "Cyclist": 0.3},
+                          "DiscardThreshMax": {"Vehicle": 0.7, "Pedestrian": 0.55, "Cyclist": 0.55}},
+        "POINT_FEATURE_ENCODING": {
+            "used_feature_list": ["x", "y", "z", "intensity", "time"],
+            "src_feature_list": ["x", "y", "z", "intensity", "time"],
+        },
+    }
+    ds = WaymoUnsupervisedDataset(dataset_cfg=cfg, class_names=["Vehicle", "Pedestrian", "Cyclist"],
+                                  training=True, root_path=str(root))
+    # PROCESSED_DATA_TAG "" makes data_path == root
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["points"].shape == (8192, 5)
+    assert s["points1"].shape == (8192, 5)
+    # at least one proto-gated gt survived with normalized css
+    if s["gt_valid"].any():
+        css = s["css_score"][s["gt_valid"]]
+        assert np.all(css >= 0) and np.all(css <= 1)
+        assert np.all(s["proto_group_id"][s["gt_valid"]] >= -1)
+
+
+def test_waymo_dataset_eval_mode(synthetic_sequence):
+    root, seq, labels = synthetic_sequence
+    from cpd_tpu.datasets.waymo_unsupervised import WaymoUnsupervisedDataset
+
+    cfg = {
+        "DATA_PATH": str(root), "PROCESSED_DATA_TAG": "",
+        "POINT_CLOUD_RANGE": [-75.2, -75.2, -2, 75.2, 75.2, 4],
+        "POINT_CAP": 8192, "GT_CAP": 32,
+        "InitLabelGenerator": "MFCF", "LabelRefiner": "C_PROTO",
+        "DATA_SPLIT": {"train": "train", "test": "val"},
+        "SAMPLED_INTERVAL": {"train": 1, "test": 1},
+        "POINT_FEATURE_ENCODING": {
+            "used_feature_list": ["x", "y", "z", "intensity", "time"],
+            "src_feature_list": ["x", "y", "z", "intensity", "time"],
+        },
+    }
+    ds = WaymoUnsupervisedDataset(dataset_cfg=cfg, class_names=["Vehicle", "Pedestrian", "Cyclist"],
+                                  training=False, root_path=str(root))
+    s = ds[0]
+    assert s["points"].shape == (8192, 5)
+    gt_annos = ds.collect_gt_annos()
+    assert len(gt_annos) == 6
+    # perfect "detections" from gt -> near-100 AP through the dataset evaluation API
+    dets = [{
+        "frame_id": a["frame_id"], "boxes_lidar": a["gt_boxes_lidar"][:, :7],
+        "score": np.linspace(0.9, 0.6, len(a["name"])), "name": a["name"],
+    } for a in gt_annos]
+    _, r = ds.evaluation(dets, ["Vehicle", "Pedestrian"], gt_annos=gt_annos)
+    assert r["Vehicle_L2/AP"] > 99.0
