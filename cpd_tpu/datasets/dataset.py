@@ -158,6 +158,56 @@ class DatasetTemplate:
         return out
 
 
+def _template_generate_prediction_dicts(self, batch, pred_dicts, class_names, output_path=None):
+    """Generic device-output -> annotation dicts (overridden by datasets
+    needing coordinate/TTA handling, e.g. WaymoUnsupervisedDataset)."""
+    out = []
+    boxes = np.asarray(pred_dicts["pred_boxes"])
+    scores = np.asarray(pred_dicts["pred_scores"])
+    labels = np.asarray(pred_dicts["pred_labels"])
+    valid = np.asarray(pred_dicts["pred_valid"])
+    for i in range(batch["batch_size"]):
+        m = valid[i]
+        lb = labels[i][m]
+        names = np.asarray(class_names)[np.clip(lb - 1, 0, len(class_names) - 1)]
+        out.append({
+            "frame_id": batch.get("frame_id", list(range(batch["batch_size"])))[i],
+            "boxes_lidar": boxes[i][m], "score": scores[i][m], "name": names,
+            "pred_labels": lb,
+        })
+    return out
+
+
+def _template_collect_gt_annos(self):
+    """Generic gt collection from prepared eval samples."""
+    annos = []
+    for i in range(len(self)):
+        s = self[i]
+        v = s["gt_valid"]
+        cls_ids = s["gt_boxes"][v, 7].astype(int)
+        names = np.asarray(self.class_names)[np.clip(cls_ids - 1, 0, len(self.class_names) - 1)]
+        annos.append({
+            "frame_id": s.get("frame_id", i),
+            "gt_boxes_lidar": s["gt_boxes"][v, :7],
+            "name": names,
+            "num_points_in_gt": np.full(int(v.sum()), 100),
+            "difficulty": np.zeros(int(v.sum())),
+        })
+    return annos
+
+
+def _template_evaluation(self, det_annos, class_names, eval_metric="waymo", **kwargs):
+    from ..evaluation import waymo_style_eval
+
+    gt_annos = kwargs.get("gt_annos") or self.collect_gt_annos()
+    return waymo_style_eval(det_annos, gt_annos, class_names)
+
+
+DatasetTemplate.generate_prediction_dicts = _template_generate_prediction_dicts
+DatasetTemplate.collect_gt_annos = _template_collect_gt_annos
+DatasetTemplate.evaluation = _template_evaluation
+
+
 def collate_batch(samples: List[Dict]) -> Dict:
     """Stack fixed-shape sample dicts into one batch (dataset.py:229 parity;
     no ragged padding needed -- prepare_data already produced static shapes)."""

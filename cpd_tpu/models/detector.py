@@ -94,10 +94,12 @@ class VoxelRCNN(nn.Module):
         frame = voxelize_batch(batch["points"], self.vox_spec, batch.get("points_valid"))
         keys = keys_from_frame(frame, self.grid)
         feats_mm = keys_mm = None
-        if self.mm and train and "points1" in batch:
-            frame_mm = voxelize_batch(
-                batch["points1"], self.vox_spec, batch.get("points1_valid")
-            )
+        if self.mm and train:
+            # proto-completed view; falls back to the raw points so the MM
+            # branch parameters always exist (checkpoint tree stability)
+            pts1 = batch.get("points1", batch["points"])
+            pv1 = batch.get("points1_valid", batch.get("points_valid"))
+            frame_mm = voxelize_batch(pts1, self.vox_spec, pv1)
             feats_mm = frame_mm.features
             keys_mm = keys_from_frame(frame_mm, self.grid)
         backbone_out = self.backbone(frame.features, keys, train, feats_mm, keys_mm)
@@ -212,14 +214,21 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
     b3d = model_cfg.get("BACKBONE_3D", {})
     roi = model_cfg.get("ROI_HEAD", None)
     dense_post = model_cfg.get("DENSE_HEAD", {}).get("POST_PROCESSING", {})
+    default_caps = (max(max_voxels // 2, 1024),) + tuple(
+        max(max_voxels // d, 512) for d in (4, 8, 8)
+    )
     return cls(
         num_classes=num_class,
         point_cloud_range=pcr,
         voxel_size=voxel_size,
         max_voxels=max_voxels,
         backbone_filters=tuple(b3d.get("NUM_FILTERS", (16, 32, 64, 128))),
+        backbone_caps=tuple(b3d.get("VOXEL_CAPS", default_caps)),
         mm=bool(b3d.get("MM", False)),
         with_roi_head=roi is not None,
         num_rois=int(dense_post.get("NMS_CONFIG", {}).get("NMS_POST_MAXSIZE", 500)),
         roi_per_image=int(roi["TARGET_CONFIG"]["ROI_PER_IMAGE"]) if roi else 130,
+        roi_grid_size=int(roi.get("ROI_GRID_POOL", {}).get("GRID_SIZE", 6)) if roi else 6,
+        rpn_nms=dict(dense_post.get("NMS_CONFIG", {})) or None,
+        post_nms=dict(model_cfg.get("POST_PROCESSING", {}).get("NMS_CONFIG", {})) or None,
     )
