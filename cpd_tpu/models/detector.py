@@ -194,7 +194,9 @@ class VoxelRCNN(nn.Module):
         return {"pred_boxes": fb, "pred_scores": fs, "pred_labels": fl, "pred_valid": fv}
 
 
-_DETECTORS = {"VoxelRCNN": VoxelRCNN}
+from .centerpoint import CenterPoint  # noqa: E402  (after VoxelRCNN to avoid cycle)
+
+_DETECTORS = {"VoxelRCNN": VoxelRCNN, "CenterPoint": CenterPoint}
 
 
 def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
