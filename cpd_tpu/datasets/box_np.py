@@ -22,8 +22,19 @@ def points_in_box_np(points, box):
 
 
 def points_in_boxes_mask_np(points, boxes):
-    """(N, 3), (M, 7) -> (M, N) bool."""
+    """(N, 3), (M, 7) -> (M, N) bool (pure NumPy; see cpd_tpu.native for the
+    threaded C++ fast path used by the data pipeline)."""
     return np.stack([points_in_box_np(points, b) for b in boxes]) if len(boxes) else np.zeros((0, len(points)), bool)
+
+
+def points_in_boxes_mask_fast(points, boxes):
+    """Native C++ when built, NumPy otherwise."""
+    try:
+        from .. import native
+
+        return native.points_in_boxes_mask(points, boxes)
+    except Exception:
+        return points_in_boxes_mask_np(points, boxes)
 
 
 def mask_points_by_range_np(points, pcr):

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .box_np import points_in_boxes_mask_np
+from .box_np import points_in_boxes_mask_fast
 from .dataset import DatasetTemplate
 from .registry import register_dataset
 from ..unsupervised.cproto import box_frame_inverse
@@ -150,7 +150,7 @@ class WaymoUnsupervisedDataset(DatasetTemplate):
         scores = np.asarray(label["outline_score"], np.float32).reshape(-1)
         pids = np.asarray(label.get("outline_proto_id", np.full(len(boxes), -1)), np.int64).reshape(-1)
 
-        in_box = points_in_boxes_mask_np(points[:, :3], boxes)  # (M, N)
+        in_box = points_in_boxes_mask_fast(points[:, :3], boxes)  # (M, N)
         keep_no_obj = ~in_box.any(axis=0) if len(boxes) else np.ones(len(points), bool)
         keep_good = np.ones(len(points), bool)
         new_boxes, new_names, new_scores, new_pids, proto_clouds = [], [], [], [], []
@@ -313,7 +313,7 @@ def create_track_groundtruth_database(dataset: WaymoUnsupervisedDataset, out_pat
         pts = dataset.get_lidar(seq, idx)
         boxes = np.asarray(label["outline_box"]).reshape(-1, 7)
         names = np.asarray(label["outline_cls"]).reshape(-1)
-        masks = points_in_boxes_mask_np(pts[:, :3], boxes)
+        masks = points_in_boxes_mask_fast(pts[:, :3], boxes)
         for i, (b, n) in enumerate(zip(boxes, names)):
             obj = pts[masks[i]]
             if len(obj) < min_points or str(n) not in dataset.class_names:

@@ -68,8 +68,14 @@ def ppscore_for_frame(
         if not chunk:
             counts.append(np.zeros(len(world_cur)))
             continue
-        tree = cKDTree(np.concatenate(chunk, axis=0))
-        counts.append(tree.query_ball_point(world_cur, r=radius, return_length=True))
+        support = np.concatenate(chunk, axis=0)
+        try:
+            from .. import native
+
+            counts.append(native.radius_neighbor_count(world_cur, support, radius))
+        except Exception:
+            tree = cKDTree(support)
+            counts.append(tree.query_ball_point(world_cur, r=radius, return_length=True))
     counts = np.stack(counts, axis=1)  # (N, W)
     return compute_ephe_score(counts)
 
