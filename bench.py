@@ -52,16 +52,22 @@ def main():
         batch, False,
     )
     predict = jax.jit(lambda v, x: model.apply(v, x, method=VoxelRCNN.predict))
+
+    def sync(o):
+        # force a readback: block_until_ready does not synchronize under the
+        # axon-tunneled TPU runtime
+        np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
     out = predict(variables, batch)
-    jax.block_until_ready(out)  # compile + warmup
+    sync(out)  # compile + warmup
     out = predict(variables, batch)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = predict(variables, batch)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     fps = iters * b / dt
     print(json.dumps({

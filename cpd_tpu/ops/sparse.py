@@ -92,6 +92,42 @@ def lookup(sorted_keys, queries):
     return idx, found
 
 
+SENTINEL = jnp.int32(1 << 30)  # > any real key (grids < 2^27 cells); < INT32_MAX/2
+
+
+def lookup_sorted_rows(sorted_keys, queries):
+    """Rank-trick join: find each query in ``sorted_keys`` when every ROW of
+    ``queries`` (R, Q) is sorted ascending (monotone query construction).
+
+    TPU-native replacement for binary search (jnp.searchsorted lowers to
+    per-element while-loops, ~5x slower on TPU than one batched sort).
+    Method: merge each query row with the key array by sorting the tagged
+    concatenation (keys even, queries odd -- ties put the key first), invert
+    the permutation to get ranks; ``rank - position`` is the
+    searchsorted-right insertion point. Cost: one (R, V+Q) int32 sort + one
+    permutation scatter.
+
+    Contract: all values < SENTINEL are real; padding slots hold values
+    >= SENTINEL (still sorted). Returns (idx (R, Q) int32 clamped,
+    found (R, Q) bool).
+    """
+    v = sorted_keys.shape[0]
+    r, q = queries.shape
+    a_pad = sorted_keys >= SENTINEL
+    a2 = jnp.where(a_pad, jnp.iinfo(jnp.int32).max, sorted_keys * 2)
+    q_pad = queries >= SENTINEL
+    q2 = jnp.where(q_pad, jnp.iinfo(jnp.int32).max, queries * 2 + 1)
+    merged = jnp.concatenate([jnp.broadcast_to(a2[None], (r, v)), q2], axis=1)
+    order = jnp.argsort(merged, axis=1)
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(r)[:, None], order
+    ].set(jnp.broadcast_to(jnp.arange(v + q, dtype=order.dtype)[None], (r, v + q)))
+    pos = ranks[:, v:] - jnp.arange(q, dtype=order.dtype)[None]  # searchsorted-right
+    idx = jnp.clip(pos - 1, 0, v - 1).astype(jnp.int32)
+    found = (sorted_keys[idx] == queries) & ~q_pad
+    return idx, found
+
+
 def _kernel_offsets(kernel: Tuple[int, int, int]):
     """Static list of (dz, dy, dx) offsets relative to the kernel origin."""
     kx, ky, kz = kernel
@@ -116,27 +152,46 @@ class Rulebook(NamedTuple):
 def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3, 3, 3)) -> Rulebook:
     """Submanifold rulebook: output sites == input sites (SubMConv3d semantics).
 
-    keys: (V_cap,) sorted int32. For each active voxel and each kernel offset,
-    find the input voxel at (coord + offset - center), or mark not-found.
+    keys: (V_cap,) sorted int32. Each kernel offset's query set is the key
+    array plus a constant linearized delta -- still sorted -- so ALL offsets
+    resolve in ONE batched rank-join (lookup_sorted_rows). Wraps across grid
+    rows are rejected by per-dim bounds checks on the source coordinates.
     """
     kx, ky, kz = kernel
     cx, cy, cz = kx // 2, ky // 2, kz // 2
     coords = coords_from_keys(keys, grid)  # (V, 3) zyx
     valid = keys != INVALID_KEY
-    idx_cols = []
-    found_cols = []
-    for dz, dy, dx in _kernel_offsets(kernel):
-        if (dz, dy, dx) == (cz, cy, cx):
-            # center tap: identity
-            n = keys.shape[0]
+    n = keys.shape[0]
+    safe_keys = jnp.where(valid, keys, SENTINEL)
+
+    offsets = [(dz - cz, dy - cy, dx - cx) for dz, dy, dx in _kernel_offsets(kernel)]
+    center_col = offsets.index((0, 0, 0))
+    non_center = [o for o in offsets if o != (0, 0, 0)]
+    deltas = jnp.asarray(
+        [(oz * grid.ny + oy) * grid.nx + ox for oz, oy, ox in non_center], jnp.int32
+    )
+    queries = safe_keys[None, :] + deltas[:, None]  # (K-1, V) sorted rows
+    idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
+    # wrap rejection: the neighbor coordinate must be in bounds per dim
+    offs = jnp.asarray(non_center, jnp.int32)  # (K-1, 3) zyx
+    nc = coords[None, :, :] + offs[:, None, :]
+    in_bounds = (
+        (nc[..., 2] >= 0) & (nc[..., 2] < grid.nx)
+        & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
+        & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
+    )
+    found_all = found_all & in_bounds & valid[None, :]
+
+    idx_cols, found_cols = [], []
+    k = 0
+    for col in range(len(offsets)):
+        if col == center_col:
             idx_cols.append(jnp.arange(n, dtype=jnp.int32))
             found_cols.append(valid)
-            continue
-        nc = coords + jnp.array([dz - cz, dy - cy, dx - cx], dtype=coords.dtype)
-        nkeys = keys_from_coords(nc, grid, valid)
-        i, f = lookup(keys, nkeys)
-        idx_cols.append(i)
-        found_cols.append(f)
+        else:
+            idx_cols.append(idx_all[k])
+            found_cols.append(found_all[k])
+            k += 1
     return Rulebook(
         idx=jnp.stack(idx_cols, axis=1),
         found=jnp.stack(found_cols, axis=1),
@@ -216,21 +271,30 @@ def _build_conv_rulebook_jit(
     out_keys = jnp.where(out_valid, out_keys, INVALID_KEY).astype(jnp.int32)
 
     # for each output voxel and kernel tap, find the contributing input voxel:
-    # input coord = out*s - p + tap
-    out_coords = coords_from_keys(out_keys, out_grid)
-    idx_cols, found_cols = [], []
-    for dz, dy, dx in _kernel_offsets(kernel):
-        ic_z = out_coords[:, 0] * sz - pz + dz
-        ic_y = out_coords[:, 1] * sy - py + dy
-        ic_x = out_coords[:, 2] * sx - px + dx
-        ic = jnp.stack([ic_z, ic_y, ic_x], axis=-1)
-        qkeys = keys_from_coords(ic, grid, out_valid)
-        i, f = lookup(keys, qkeys)
-        idx_cols.append(i)
-        found_cols.append(f)
+    # input coord = out*s - p + tap. The arithmetic (unclipped) input key is a
+    # strictly increasing function of the output key, so every tap's query row
+    # is sorted and ONE batched rank-join resolves all taps; out-of-bounds
+    # input coordinates are rejected afterwards.
+    out_coords = coords_from_keys(out_keys, out_grid)  # (Vo, 3) zyx
+    offs = jnp.asarray(_kernel_offsets(kernel), jnp.int32)  # (K, 3) zyx taps
+    ic = jnp.stack([
+        out_coords[:, 0] * sz - pz,
+        out_coords[:, 1] * sy - py,
+        out_coords[:, 2] * sx - px,
+    ], axis=-1)[None, :, :] + offs[:, None, :]  # (K, Vo, 3)
+    qkeys = (ic[..., 0] * grid.ny + ic[..., 1]) * grid.nx + ic[..., 2]
+    qkeys = jnp.where(out_valid[None, :], qkeys, SENTINEL).astype(jnp.int32)
+    safe_keys = jnp.where(keys != INVALID_KEY, keys, SENTINEL)
+    idx_all, found_all = lookup_sorted_rows(safe_keys, qkeys)
+    in_bounds = (
+        (ic[..., 2] >= 0) & (ic[..., 2] < grid.nx)
+        & (ic[..., 1] >= 0) & (ic[..., 1] < grid.ny)
+        & (ic[..., 0] >= 0) & (ic[..., 0] < grid.nz)
+    )
+    found_all = found_all & in_bounds
     return Rulebook(
-        idx=jnp.stack(idx_cols, axis=1),
-        found=jnp.stack(found_cols, axis=1),
+        idx=jnp.transpose(idx_all),
+        found=jnp.transpose(found_all),
         out_keys=out_keys,
         out_valid=out_valid,
     )
