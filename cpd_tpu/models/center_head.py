@@ -133,6 +133,7 @@ class CenterHead(nn.Module):
                     pre_max_size=min(int(nms_cfg["NMS_PRE_MAXSIZE"]), k),
                     post_max_size=min(int(nms_cfg["NMS_POST_MAXSIZE"]), post_max_size),
                     valid=valid,
+                    fast=bool(nms_cfg.get("USE_FAST_NMS", True)),
                 )
                 boxes, scores, labels, valid = boxes[idx], scores[idx], labels[idx], mask
             return boxes, scores, labels + 1, valid

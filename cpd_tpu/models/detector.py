@@ -187,6 +187,7 @@ class VoxelRCNN(nn.Module):
                 pre_max_size=min(int(nms_cfg["NMS_PRE_MAXSIZE"]), b.shape[0]),
                 post_max_size=min(int(nms_cfg["NMS_POST_MAXSIZE"]), post_max),
                 valid=v,
+                fast=bool(nms_cfg.get("USE_FAST_NMS", True)),
             )
             return b[idx], s[idx], l[idx], mask
 

@@ -211,7 +211,7 @@ class GridPoolBranch(nn.Module):
             pre = nn.relu(pre)
             for gi, (qrange, radius) in enumerate(groups):
                 def q_one(qxyz, k):
-                    return pool.voxel_query(
+                    return pool.voxel_query_fast(
                         qxyz, k, grid, self.voxel_size, self.point_cloud_range,
                         ds, tuple(qrange), radius, self.nsample,
                     )

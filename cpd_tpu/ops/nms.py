@@ -40,9 +40,20 @@ def _greedy_suppress(iou, valid, thresh):
     return keep
 
 
-@partial(jax.jit, static_argnames=("pre_max_size", "post_max_size", "use_bev_iou"))
+def _fast_suppress(iou, valid, thresh):
+    """YOLACT-style fast NMS (sanctioned by the reference test config
+    ``USE_FAST_NMS: True``, voxel_rcnn_cproto_center.yaml): box i survives if
+    no higher-scoring box overlaps it -- suppressed boxes still suppress.
+    One triangular-mask reduction, no sequential loop."""
+    k = iou.shape[0]
+    j_lt_i = jnp.triu(jnp.ones((k, k), bool), k=1)  # [j, i] True iff j < i
+    m = (iou > thresh) & j_lt_i & valid[:, None]  # j suppresses i
+    return valid & ~jnp.any(m, axis=0)
+
+
+@partial(jax.jit, static_argnames=("pre_max_size", "post_max_size", "use_bev_iou", "fast"))
 def nms_bev(boxes, scores, thresh, pre_max_size=1024, post_max_size=256, valid=None,
-            use_bev_iou=True):
+            use_bev_iou=True, fast=False):
     """Rotated-BEV NMS.
 
     boxes: (N, 7+), scores: (N,). Returns (indices (post_max,), keep_mask (post_max,)):
@@ -59,7 +70,10 @@ def nms_bev(boxes, scores, thresh, pre_max_size=1024, post_max_size=256, valid=N
     top_boxes = boxes[order]
     iou_fn = boxes_iou_bev if use_bev_iou else boxes_iou3d
     iou = iou_fn(top_boxes[:, :7], top_boxes[:, :7])
-    keep = _greedy_suppress(iou, top_valid, thresh)
+    if fast:
+        keep = _fast_suppress(iou, top_valid, thresh)
+    else:
+        keep = _greedy_suppress(iou, top_valid, thresh)
     # compact kept indices to the front, fixed post_max_size
     keep_scores = jnp.where(keep, top_scores, -jnp.inf)
     m = min(post_max_size, k)
@@ -91,7 +105,7 @@ def nms_normal_bev(boxes, scores, thresh, pre_max_size=1024, post_max_size=256, 
 def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None, valid=None):
     """Parity with model_nms_utils.class_agnostic_nms (model_nms_utils.py:115).
 
-    Returns (selected_idx, selected_mask, selected_scores), all fixed-size.
+    Honors nms_config['USE_FAST_NMS'] (reference test config).
     """
     n = box_scores.shape[0]
     if valid is None:
@@ -105,6 +119,7 @@ def class_agnostic_nms(box_scores, box_preds, nms_config, score_thresh=None, val
         pre_max_size=int(nms_config["NMS_PRE_MAXSIZE"]),
         post_max_size=int(nms_config["NMS_POST_MAXSIZE"]),
         valid=valid,
+        fast=bool(nms_config.get("USE_FAST_NMS", False)),
     )
     sel_scores = jnp.where(mask, box_scores[idx], 0.0)
     return idx, mask, sel_scores

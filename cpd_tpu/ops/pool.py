@@ -21,7 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .sparse import GridSpec, INVALID_KEY, lookup
+from .sparse import GridSpec, INVALID_KEY, SENTINEL, lookup, lookup_sorted_rows
 from .geometry import rotate_points_along_z
 
 
@@ -101,6 +101,76 @@ def voxel_query(
     sel_valid = jnp.isfinite(top_score)
     sel_centers = jnp.take_along_axis(centers, sel[..., None], axis=1)
     return sel_idx, sel_valid, sel_centers
+
+
+@partial(jax.jit, static_argnames=("grid", "query_range", "nsample", "downsample", "max_taps"))
+def voxel_query_fast(
+    query_xyz,  # (Q, 3) world coords (any order)
+    voxel_keys,  # (V,) sorted int32
+    grid: GridSpec,
+    voxel_size,
+    point_cloud_range,
+    downsample: int,
+    query_range: Tuple[int, int, int],
+    radius: float,
+    nsample: int,
+    max_taps: int = 33,
+):
+    """Rank-join voxel query: sort the queries once, then every window tap is
+    a constant key offset of a sorted array -- resolved by ONE batched
+    sort-join (lookup_sorted_rows) instead of per-tap binary searches.
+
+    This is the production path of the RoI grid pooling (the reference's
+    voxel_query.cu); the window is capped at ``max_taps`` offsets (dilated to
+    cover the configured range), keeping the nearest ``nsample`` found.
+    Same return contract as ``voxel_query``.
+    """
+    q_n = query_xyz.shape[0]
+    vs = jnp.asarray(voxel_size, jnp.float32) * downsample
+    pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    qc_xyz = jnp.floor((query_xyz - pcr) / vs).astype(jnp.int32)  # (Q, 3) xyz
+    in_grid = (
+        (qc_xyz[:, 0] >= 0) & (qc_xyz[:, 0] < grid.nx)
+        & (qc_xyz[:, 1] >= 0) & (qc_xyz[:, 1] < grid.ny)
+        & (qc_xyz[:, 2] >= 0) & (qc_xyz[:, 2] < grid.nz)
+    )
+    qkeys = (qc_xyz[:, 2] * grid.ny + qc_xyz[:, 1]) * grid.nx + qc_xyz[:, 0]
+    qkeys = jnp.where(in_grid, qkeys, SENTINEL)
+    order = jnp.argsort(qkeys)
+    sq = qkeys[order]  # sorted query keys
+
+    offs = _window_offsets(query_range, max_taps=max_taps)  # (W, 3) zyx
+    w = offs.shape[0]
+    deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]  # (W,)
+    rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
+    safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
+    idx_all, found_all = lookup_sorted_rows(safe_keys, rows)  # (W, Q)
+    # wrap rejection per dim on the sorted-query coordinates
+    sqc = qc_xyz[order]  # (Q, 3) xyz
+    nx_c = sqc[None, :, 0] + offs[:, None, 2]
+    ny_c = sqc[None, :, 1] + offs[:, None, 1]
+    nz_c = sqc[None, :, 2] + offs[:, None, 0]
+    in_bounds = (
+        (nx_c >= 0) & (nx_c < grid.nx) & (ny_c >= 0) & (ny_c < grid.ny)
+        & (nz_c >= 0) & (nz_c < grid.nz)
+    )
+    found_all = found_all & in_bounds
+    centers = jnp.stack([
+        (nx_c.astype(jnp.float32) + 0.5) * vs[0] + pcr[0],
+        (ny_c.astype(jnp.float32) + 0.5) * vs[1] + pcr[1],
+        (nz_c.astype(jnp.float32) + 0.5) * vs[2] + pcr[2],
+    ], axis=-1)  # (W, Q, 3)
+    sorted_query_xyz = query_xyz[order]
+    dist = jnp.linalg.norm(centers - sorted_query_xyz[None, :, :], axis=-1)  # (W, Q)
+    ok = found_all & (dist <= radius)
+    score = jnp.where(ok, -dist, -jnp.inf)
+    top_score, sel = jax.lax.top_k(score.T, nsample)  # (Q, nsample) over taps
+    sel_idx = jnp.take_along_axis(idx_all.T, sel, axis=1)
+    sel_valid = jnp.isfinite(top_score)
+    sel_centers = jnp.take_along_axis(jnp.transpose(centers, (1, 0, 2)), sel[..., None], axis=1)
+    # unsort back to the caller's query order
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
+    return sel_idx[inv], sel_valid[inv], sel_centers[inv]
 
 
 @partial(jax.jit, static_argnames=("nsample",))

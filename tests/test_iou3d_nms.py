@@ -110,3 +110,20 @@ def test_wbf_fuses_cluster():
     want_x = (0.9 * 0.0 + 0.7 * 0.2) / 1.6
     fused_near = f[np.abs(f[:, 0]) < 1.0]
     np.testing.assert_allclose(fused_near[0, 0], want_x, atol=1e-4)
+
+
+def test_fast_nms_close_to_greedy():
+    rng = np.random.default_rng(11)
+    boxes = oracles.random_boxes(64, rng, span=25.0).astype(np.float32)
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    idx_f, mask_f = nms.nms_bev(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                                pre_max_size=64, post_max_size=64, fast=True)
+    kept_fast = set(np.asarray(idx_f)[np.asarray(mask_f)].tolist())
+    kept_greedy = set(oracles.greedy_nms(boxes, scores, 0.3))
+    # fast NMS over-suppresses: kept_fast is a subset of greedy's keeps,
+    # and the top-scoring box is always kept
+    assert kept_fast <= kept_greedy
+    top = int(np.argmax(scores))
+    assert top in kept_fast
+    # on sparse scenes they should mostly agree
+    assert len(kept_fast) >= 0.7 * len(kept_greedy)
