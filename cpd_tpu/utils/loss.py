@@ -145,3 +145,22 @@ def cosine_consistency_loss(feat_a, feat_b, mask=None):
         m = mask.astype(cos.dtype)
         return -jnp.sum(cos * m) / jnp.clip(jnp.sum(m), min=1.0)
     return -jnp.mean(cos)
+
+
+def odiou_3d(pred_boxes, gt_boxes, weights=None):
+    """Differentiable rotated-IoU loss (cpd/utils/odiou_loss.py:824 odiou_3D).
+
+    The reference builds a 900-LoC differentiable polygon-clipping chain; here
+    the rotated-overlap construction in cpd_tpu.ops.iou3d is already plain
+    jnp (sorting treated as constant under autodiff -- valid subgradients),
+    so the loss is simply 1 - IoU3D, optionally weighted. pred/gt: (N, 7).
+    """
+    from ..ops.iou3d import boxes_iou3d
+
+    iou = jax.vmap(lambda p, g: boxes_iou3d(p[None, :7], g[None, :7])[0, 0])(
+        pred_boxes, gt_boxes
+    )
+    loss = 1.0 - iou
+    if weights is not None:
+        return jnp.sum(loss * weights) / jnp.clip(jnp.sum(weights), min=1.0)
+    return jnp.mean(loss)
