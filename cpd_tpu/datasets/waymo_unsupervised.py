@@ -326,3 +326,52 @@ def create_track_groundtruth_database(dataset: WaymoUnsupervisedDataset, out_pat
     with open(out_path, "wb") as f:
         pickle.dump(db, f)
     return {k: len(v) for k, v in db.items()}
+
+
+def create_waymo_infos(raw_data_path, processed_path, seqs=None, config=None,
+                       workers: int = 16, dataset: WaymoUnsupervisedDataset = None):
+    """Full builder pipeline (reference :792 create_waymo_infos):
+    raw TFRecords -> processed npy/pkl -> PPScore -> outline labels -> gt db."""
+    from . import waymo_utils
+
+    processed_path = Path(processed_path)
+    if seqs is None:
+        seqs = sorted(p.name.replace(".tfrecord", "")
+                      for p in Path(raw_data_path).glob("*.tfrecord"))
+    if waymo_utils.HAVE_WAYMO:
+        for s in seqs:
+            waymo_utils.process_single_sequence(Path(raw_data_path) / f"{s}.tfrecord",
+                                                processed_path)
+    create_ppscore(processed_path, seqs, workers)
+    create_outline_boxes(processed_path, seqs, config or {}, workers)
+    if dataset is not None:
+        create_track_groundtruth_database(
+            dataset, processed_path / "track_dbinfos_train.pkl")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import yaml
+
+    p = argparse.ArgumentParser(description="Waymo pseudo-label dataset builder "
+                                "(reference CLI: python -m cpd.datasets...)")
+    p.add_argument("--func", default="create_waymo_infos",
+                   choices=["create_waymo_infos", "create_ppscore", "create_outline_boxes"])
+    p.add_argument("--cfg_file", required=True)
+    p.add_argument("--raw_data_path", default=None)
+    p.add_argument("--processed_data_path", required=True)
+    p.add_argument("--workers", type=int, default=16)
+    args = p.parse_args()
+    with open(args.cfg_file) as f:
+        cfg = yaml.safe_load(f)
+    seqs = None
+    if args.func == "create_waymo_infos":
+        create_waymo_infos(args.raw_data_path, args.processed_data_path,
+                           config=cfg, workers=args.workers)
+    else:
+        seqs = sorted(q.name for q in Path(args.processed_data_path).iterdir() if q.is_dir())
+        if args.func == "create_ppscore":
+            create_ppscore(Path(args.processed_data_path), seqs, args.workers)
+        else:
+            create_outline_boxes(Path(args.processed_data_path), seqs, cfg, args.workers)
