@@ -285,6 +285,8 @@ class DataAugmentor:
                 pts, boxes, names = cfg(data["points"], data["gt_boxes"], data["gt_names"], rng)
                 data["points"], data["gt_boxes"], data["gt_names"] = pts, boxes, names
                 continue
+            if _augmentor_forward_local(self, data, name, cfg, rng):
+                continue
             param = self._draw_param(name, cfg, rng)
             if param is None:
                 continue
@@ -351,3 +353,163 @@ class TestAugmentor:
 
     def backward(self, pred_boxes: np.ndarray) -> np.ndarray:
         return self.param.inverse_boxes(pred_boxes)
+
+
+# ---------------------------------------------------------------------------
+# local (per-object) augmentations
+# ---------------------------------------------------------------------------
+
+def noise_per_object(points, boxes, rng, rot_range=(-0.3925, 0.3925),
+                     trans_std=(1.0, 1.0, 0.5), collision_check=True):
+    """Per-box local rotation + translation with collision revert
+    (augmentor_utils.noise_per_object_v3_ capability, numba in the reference).
+
+    Points inside each box move rigidly with it; a perturbation is reverted
+    when the moved box would collide with any other (current) box.
+    """
+    from .box_np import points_in_boxes_mask_fast
+
+    if len(boxes) == 0:
+        return points, boxes
+    boxes = boxes.copy()
+    points = points.copy()
+    masks = points_in_boxes_mask_fast(points[:, :3], boxes)
+    for i in range(len(boxes)):
+        rot = rng.uniform(*rot_range)
+        trans = rng.normal(0, trans_std, 3)
+        new_box = boxes[i].copy()
+        c, s = np.cos(rot), np.sin(rot)
+        new_box[6] += rot
+        new_box[:3] += trans
+        if collision_check:
+            others = np.delete(boxes, i, axis=0)
+            if len(others) and box_collision_test(new_box[None, :7], others[:, :7]).any():
+                continue
+        m = masks[i]
+        if m.any():
+            local = points[m, :3] - boxes[i, :3]
+            rotm = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            points[m, :3] = local @ rotm.T + new_box[:3]
+        boxes[i] = new_box
+    return points, boxes
+
+
+def _pyramid_masks(points, box):
+    """Assign each in-box point to one of the 6 face pyramids of the box."""
+    rel = points[:, :3] - box[:3]
+    c, s = np.cos(-box[6]), np.sin(-box[6])
+    lx = rel[:, 0] * c - rel[:, 1] * s
+    ly = rel[:, 0] * s + rel[:, 1] * c
+    lz = rel[:, 2]
+    u = np.stack([lx / max(box[3], 1e-6), ly / max(box[4], 1e-6), lz / max(box[5], 1e-6)], 1)
+    dom = np.argmax(np.abs(u), axis=1)
+    sign = np.take_along_axis(np.sign(u), dom[:, None], axis=1)[:, 0]
+    return dom * 2 + (sign > 0)  # face id 0..5
+
+
+def local_pyramid_dropout(points, boxes, rng, prob: float = 0.25):
+    """Drop one random face-pyramid of points per selected box
+    (augmentor_utils.local_pyramid_* capability)."""
+    from .box_np import points_in_boxes_mask_fast
+
+    if len(boxes) == 0:
+        return points
+    masks = points_in_boxes_mask_fast(points[:, :3], boxes)
+    drop = np.zeros(len(points), bool)
+    for i, box in enumerate(boxes):
+        if rng.random() > prob or not masks[i].any():
+            continue
+        ids = _pyramid_masks(points[masks[i]], box)
+        face = rng.integers(6)
+        sub = np.where(masks[i])[0][ids == face]
+        drop[sub] = True
+    return points[~drop]
+
+
+def local_pyramid_sparsify(points, boxes, rng, prob: float = 0.25, keep: float = 0.5):
+    """Sparsify one face-pyramid per selected box."""
+    from .box_np import points_in_boxes_mask_fast
+
+    if len(boxes) == 0:
+        return points
+    masks = points_in_boxes_mask_fast(points[:, :3], boxes)
+    drop = np.zeros(len(points), bool)
+    for i, box in enumerate(boxes):
+        if rng.random() > prob or not masks[i].any():
+            continue
+        ids = _pyramid_masks(points[masks[i]], box)
+        face = rng.integers(6)
+        sub = np.where(masks[i])[0][ids == face]
+        if len(sub):
+            drop[rng.choice(sub, int(len(sub) * (1 - keep)), replace=False)] = True
+    return points[~drop]
+
+
+def random_local_flip(points, boxes, rng, prob: float = 0.5):
+    """Flip each object's points across its own long axis (random_local_flip)."""
+    from .box_np import points_in_boxes_mask_fast
+
+    if len(boxes) == 0:
+        return points
+    points = points.copy()
+    masks = points_in_boxes_mask_fast(points[:, :3], boxes)
+    for i, box in enumerate(boxes):
+        if rng.random() > prob or not masks[i].any():
+            continue
+        m = masks[i]
+        rel = points[m, :3] - box[:3]
+        c, s = np.cos(-box[6]), np.sin(-box[6])
+        ly = rel[:, 0] * s + rel[:, 1] * c
+        # reflect local y
+        lx = rel[:, 0] * c - rel[:, 1] * s
+        ly = -ly
+        c2, s2 = np.cos(box[6]), np.sin(box[6])
+        points[m, 0] = lx * c2 - ly * s2 + box[0]
+        points[m, 1] = lx * s2 + ly * c2 + box[1]
+    return points
+
+
+class DADataBaseSampler(DataBaseSampler):
+    """Domain-adaptation gt sampler (database_sampler.py:468): sampled object
+    points are thinned with spherical-grid la_sampling + random dropout to
+    match a sparser target sensor."""
+
+    def __init__(self, *a, keep_every: int = 2, max_drop: float = 0.5, **kw):
+        super().__init__(*a, **kw)
+        self.keep_every = keep_every
+        self.max_drop = max_drop
+
+    def _draw(self, cls, num, rng):
+        from .point_ops import la_sampling, random_drop_out
+
+        infos = super()._draw(cls, num, rng)
+        out = []
+        for info in infos:
+            info = dict(info)
+            pts = np.asarray(info["points"], np.float32)
+            pts = la_sampling(pts, keep_every=self.keep_every)
+            pts = random_drop_out(pts, self.max_drop, rng)
+            info["points"] = pts
+            out.append(info)
+        return out
+
+
+# register local augs in the DataAugmentor queue
+def _augmentor_forward_local(self, data, name, cfg, rng):
+    if name == "random_local_noise":
+        data["points"], data["gt_boxes"] = noise_per_object(
+            data["points"], data["gt_boxes"], rng,
+            rot_range=tuple(cfg.get("LOCAL_ROT_RANGE", (-0.3925, 0.3925))),
+            trans_std=tuple(cfg.get("TRANSLATION_STD", (1.0, 1.0, 0.5))),
+        )
+        return True
+    if name == "random_local_pyramid_aug":
+        data["points"] = local_pyramid_dropout(data["points"], data["gt_boxes"], rng,
+                                               float(cfg.get("DROP_PROB", 0.25)))
+        data["points"] = local_pyramid_sparsify(data["points"], data["gt_boxes"], rng,
+                                                float(cfg.get("SPARSIFY_PROB", 0.25)))
+        return True
+    if name == "random_local_flip":
+        data["points"] = random_local_flip(data["points"], data["gt_boxes"], rng)
+        return True
+    return False

@@ -168,3 +168,35 @@ def test_tta_roundtrip():
     out = tta.forward(data)
     back = tta.backward(out["gt_boxes"])
     np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-5)
+
+
+def test_local_augmentations():
+    from cpd_tpu.datasets.augmentor import (
+        noise_per_object, local_pyramid_dropout, random_local_flip, DADataBaseSampler,
+    )
+    from cpd_tpu.datasets.box_np import points_in_boxes_mask_np
+
+    rng = np.random.default_rng(0)
+    box = _boxes([[0.0, 0, 0, 4, 2, 2, 0.2]])
+    local = rng.uniform(-0.4, 0.4, (200, 3)) * box[0, 3:6]
+    c, s = np.cos(box[0, 6]), np.sin(box[0, 6])
+    pts = np.stack([local[:, 0] * c - local[:, 1] * s, local[:, 0] * s + local[:, 1] * c,
+                    local[:, 2]], 1).astype(np.float32)
+    pts = np.concatenate([pts, rng.uniform(-20, 20, (300, 3)).astype(np.float32)])
+    p2, b2 = noise_per_object(pts, box.copy(), rng)
+    # object points moved WITH the box: still inside
+    inside = points_in_boxes_mask_np(p2[:200], b2)
+    assert inside.mean() > 0.95
+    p3 = local_pyramid_dropout(pts, box, np.random.default_rng(1), prob=1.0)
+    assert len(p3) < len(pts)
+    p4 = random_local_flip(pts, box, np.random.default_rng(2), prob=1.0)
+    inside2 = points_in_boxes_mask_np(p4[:200], box)
+    assert inside2.mean() > 0.95
+
+    db = {"Vehicle": [{"name": "Vehicle", "box3d_lidar": np.array([30.0, 0, 0, 4, 2, 1.5, 0.0]),
+                       "points": rng.uniform(28, 32, (200, 5)).astype(np.float32),
+                       "num_points_in_gt": 200}]}
+    da = DADataBaseSampler(None, ["Vehicle"], {"Vehicle": 1}, db=db)
+    _, gb, _ = da(pts[:, :3].repeat(1, 0) if False else np.concatenate([pts, np.zeros((len(pts), 2), np.float32)], 1),
+                  np.zeros((0, 7), np.float32), np.asarray([]))
+    assert len(gb) == 1
