@@ -42,12 +42,14 @@ class SubMConvBN(nn.Module):
     kernel_volume: int = 27
     relu: bool = True
     bn_axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, rulebook: Rulebook, train: bool):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
-        out = sparse.sparse_conv_apply_batched(features, rulebook, w)
+        out = sparse.sparse_conv_apply_batched(features, rulebook, w,
+                                               compute_dtype=self.compute_dtype)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         if self.relu:
             out = nn.relu(out)
@@ -60,12 +62,14 @@ class StridedConvBN(nn.Module):
     out_channels: int
     kernel_volume: int
     bn_axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, rulebook: Rulebook, train: bool):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
-        out = sparse.sparse_conv_apply_batched(features, rulebook, w)
+        out = sparse.sparse_conv_apply_batched(features, rulebook, w,
+                                               compute_dtype=self.compute_dtype)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         return nn.relu(out)
 

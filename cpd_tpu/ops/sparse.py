@@ -328,12 +328,21 @@ def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
     return jnp.where(rulebook.out_valid[:, None], out, 0.0)
 
 
-def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None):
+def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
+                              compute_dtype=None):
     """Batched sparse conv: features (B, V_in, Cin), rulebook fields with a
-    leading batch axis -> (B, V_out, Cout). One big (B*V_out, K*Cin) GEMM."""
+    leading batch axis -> (B, V_out, Cout). One big (B*V_out, K*Cin) GEMM.
+
+    ``compute_dtype=jnp.bfloat16`` halves the im2col gather traffic (the HBM
+    bottleneck of the layer) and runs the GEMM at full MXU rate; accumulation
+    stays f32 via preferred_element_type.
+    """
     b, v_out, k = rulebook.idx.shape
     cin = features.shape[-1]
     cout = weights.shape[-1]
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
     idx_flat = rulebook.idx.reshape(b, v_out * k)
     gathered = jnp.take_along_axis(features, idx_flat[..., None], axis=1)
     gathered = gathered.reshape(b, v_out, k, cin)

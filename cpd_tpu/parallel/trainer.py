@@ -142,7 +142,22 @@ def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
             return loss, (tb, mut["batch_stats"])
 
         grads, (tb, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        # failure guard: skip the update when any gradient is non-finite
+        # (the reference has no such protection, SURVEY.md section 5; on long
+        # unsupervised runs a single bad pseudo-label batch must not kill
+        # training). The skip is recorded in tb["skipped_nonfinite"].
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         new_state = state.apply_gradients(grads, new_bs)
+        reverted = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old) if hasattr(new, "dtype") else new,
+            new_state, state)
+        # the step counter always advances (schedules must not stall)
+        new_state = reverted.replace(step=new_state.step)
+        tb["grad_norm"] = gnorm
+        tb["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return new_state, tb
 
     if mesh is None:
