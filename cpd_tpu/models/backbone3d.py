@@ -185,3 +185,59 @@ class VoxelResBackBone8x(nn.Module):
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
                 out[k + "_mm"] = out_mm[k]
         return out
+
+
+class PlainBranch(nn.Module):
+    """Non-residual encoder branch (VoxelBackBone8x, spconv_backbone.py:138):
+    same stage/stride layout but plain SubM conv stacks instead of residual
+    blocks (16/32/64/64 filters in the reference default)."""
+
+    grid: GridSpec
+    num_filters: Tuple[int, ...] = (16, 32, 64, 64)
+    caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features, keys, train: bool):
+        c0, c1, c2, c3 = self.num_filters
+        g0 = self.grid
+        rb0 = sparse.build_subm_rulebook_batched(keys, g0)
+        x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
+        x = SubMConvBN(c0, name="conv1")(x, rb0, train)
+        out = {"x_conv1": (x, keys, g0)}
+        cur_keys, cur_grid = keys, g0
+        for i, (c, cap, pz) in enumerate(zip((c1, c2, c3), self.caps[:3], (1, 1, 0))):
+            rb_d, g = sparse.build_conv_rulebook_batched(
+                cur_keys, cur_grid, (3, 3, 3), (2, 2, 2), (1, 1, pz), cap)
+            x = StridedConvBN(c, 27, name=f"down{i + 2}")(x, rb_d, train)
+            cur_keys, cur_grid = rb_d.out_keys, g
+            rb = sparse.build_subm_rulebook_batched(cur_keys, cur_grid)
+            x = SubMConvBN(c, name=f"conv{i + 2}a")(x, rb, train)
+            x = SubMConvBN(c, name=f"conv{i + 2}b")(x, rb, train)
+            out[f"x_conv{i + 2}"] = (x, cur_keys, cur_grid)
+        rb_out, g_out = sparse.build_conv_rulebook_batched(
+            cur_keys, cur_grid, (1, 1, 3), (1, 1, 2), (0, 0, 0), self.caps[3])
+        x = StridedConvBN(128, 3, name="conv_out")(x, rb_out, train)
+        out["encoded"] = (x, rb_out.out_keys, g_out)
+        return out
+
+
+class VoxelBackBone8x(nn.Module):
+    """Registry alternative: the plain (non-residual) 8x backbone."""
+
+    grid: GridSpec
+    num_filters: Tuple[int, ...] = (16, 32, 64, 64)
+    caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
+    mm: bool = False
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features, keys, train: bool, features_mm=None, keys_mm=None):
+        out = PlainBranch(self.grid, self.num_filters, self.caps,
+                          self.bn_axis_name, name="branch0")(features, keys, train)
+        if self.mm and features_mm is not None:
+            out_mm = PlainBranch(self.grid, self.num_filters, self.caps,
+                                 self.bn_axis_name, name="branch1")(features_mm, keys_mm, train)
+            for k in list(out_mm):
+                out[k + "_mm"] = out_mm[k]
+        return out

@@ -18,6 +18,7 @@ from flax import linen as nn
 from ..ops import sparse
 from ..ops.sparse import GridSpec
 from .norm import BatchNorm2d
+from .part_wraper import bilinear_sample_bev  # noqa: F401  (bev_align)
 
 
 def height_compression(features, keys, grid: GridSpec):
@@ -82,3 +83,70 @@ class BaseBEVBackbone(nn.Module):
         if len(ups) > 1:
             return jnp.concatenate(ups, axis=-1)
         return ups[0]
+
+
+def bev_pool(features, keys, grid: GridSpec, pool: str = "max"):
+    """BEVPool variant of the BEV projection (height_compression.py:179):
+    instead of stacking depth slices into channels, reduce over z per BEV cell
+    (max or mean) -- useful when the encoder keeps more depth."""
+    b, v, c = features.shape
+    bev_cells = grid.nx * grid.ny
+    valid = keys != sparse.INVALID_KEY
+    bev_key = jnp.where(valid, keys % bev_cells, bev_cells)
+
+    def one(f, k, m):
+        if pool == "max":
+            canvas = jax.ops.segment_max(
+                jnp.where(m[:, None], f, -jnp.inf), k, num_segments=bev_cells + 1
+            )[:bev_cells]
+            canvas = jnp.where(jnp.isfinite(canvas), canvas, 0.0)
+        else:
+            s = jax.ops.segment_sum(jnp.where(m[:, None], f, 0.0), k,
+                                    num_segments=bev_cells + 1)[:bev_cells]
+            n = jax.ops.segment_sum(m.astype(f.dtype), k, num_segments=bev_cells + 1)[:bev_cells]
+            canvas = s / jnp.clip(n[:, None], min=1.0)
+        return canvas.reshape(grid.ny, grid.nx, c)
+
+    return jax.vmap(one)(features, bev_key, valid)
+
+
+def bev_align(bev_maps, transform_params, point_cloud_range, stride_m,
+              fusion: str = "mean"):
+    """Multi-stage BEV de-augmentation + fusion (height_compression.bev_align,
+    :67-167): each stage's map was produced from differently world-transformed
+    inputs; sample every map at the INVERSE-transformed pseudo-grid so they
+    align in the common frame, then fuse (first/max/mean).
+
+    bev_maps: list of (B, H, W, C); transform_params: list of per-stage
+    WorldTransformParam-like objects with .rot/.scale/.flip_x/.flip_y.
+    """
+    import numpy as np
+
+    from .part_wraper import bilinear_sample_bev
+
+    b, h, w, c = bev_maps[0].shape
+    ys = jnp.asarray(point_cloud_range[1]) + (jnp.arange(h) + 0.5) * stride_m
+    xs = jnp.asarray(point_cloud_range[0]) + (jnp.arange(w) + 0.5) * stride_m
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid_xy = jnp.stack([gx, gy], axis=-1)  # (H, W, 2) common-frame centers
+    aligned = []
+    for bev, p in zip(bev_maps, transform_params):
+        xy = grid_xy
+        if p is not None:
+            # forward-transform the pseudo-grid into the stage's frame
+            xy = xy * p.scale
+            cth, sth = np.cos(p.rot), np.sin(p.rot)
+            xy = jnp.stack([xy[..., 0] * cth - xy[..., 1] * sth,
+                            xy[..., 0] * sth + xy[..., 1] * cth], axis=-1)
+            if p.flip_x:
+                xy = xy.at[..., 1].multiply(-1)
+            if p.flip_y:
+                xy = xy.at[..., 0].multiply(-1)
+        sample = jax.vmap(lambda m: bilinear_sample_bev(m, xy, point_cloud_range, stride_m))(bev)
+        aligned.append(sample)
+    stack = jnp.stack(aligned)
+    if fusion == "first":
+        return aligned[0]
+    if fusion == "max":
+        return jnp.max(stack, axis=0)
+    return jnp.mean(stack, axis=0)

@@ -137,3 +137,28 @@ class PointResidualCoder:
             dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
         rg = jnp.arctan2(sint, cost)
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+class PreviousResidualDecoder:
+    """Decode residuals relative to previous-frame boxes
+    (box_coder_utils.py:218): predictions are offsets from the prior box."""
+
+    def __init__(self, code_size: int = 7, **kwargs):
+        self.code_size = code_size
+
+    @staticmethod
+    def decode(encodings, prev_boxes):
+        diag = jnp.sqrt(jnp.clip(prev_boxes[..., 3], min=1e-5) ** 2
+                        + jnp.clip(prev_boxes[..., 4], min=1e-5) ** 2)
+        xg = encodings[..., 0] * diag + prev_boxes[..., 0]
+        yg = encodings[..., 1] * diag + prev_boxes[..., 1]
+        zg = encodings[..., 2] * jnp.clip(prev_boxes[..., 5], min=1e-5) + prev_boxes[..., 2]
+        dxg = jnp.exp(encodings[..., 3]) * prev_boxes[..., 3]
+        dyg = jnp.exp(encodings[..., 4]) * prev_boxes[..., 4]
+        dzg = jnp.exp(encodings[..., 5]) * prev_boxes[..., 5]
+        rg = encodings[..., 6] + prev_boxes[..., 6]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+class PreviousResidualRoIDecoder(PreviousResidualDecoder):
+    """RoI variant (box_coder_utils.py:250): identical math applied to rois."""
