@@ -212,8 +212,8 @@ class GridPoolBranch(nn.Module):
             for gi, (qrange, radius) in enumerate(groups):
                 def q_one(qxyz, k):
                     return pool.voxel_query_fast(
-                        qxyz, k, grid, self.voxel_size, self.point_cloud_range,
-                        ds, tuple(qrange), radius, self.nsample,
+                        qxyz, k, grid, tuple(self.voxel_size), self.point_cloud_range,
+                        ds, tuple(qrange), float(radius), self.nsample,
                     )
 
                 idx, valid, centers = jax.vmap(q_one)(queries, keys)

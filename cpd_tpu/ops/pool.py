@@ -41,19 +41,44 @@ def roi_grid_points(rois, grid_size: int):
 
 
 def _window_offsets(query_range: Tuple[int, int, int], max_taps: int = 135):
-    """Static (dz, dy, dx) window offsets, dilated if the full window exceeds
-    ``max_taps``, ordered by distance from the center."""
+    """Static (dz, dy, dx) window offsets ordered by distance from the center,
+    truncated to the ``max_taps`` CLOSEST offsets when the full window is
+    larger. Distance-sorted truncation keeps the near ball intact (a dilated
+    window would skip odd offsets and miss every small-radius neighbor)."""
     rz, ry, rx = query_range
-    dil = 1
-    while ((2 * rz // dil + 1) * (2 * ry // dil + 1) * (2 * rx // dil + 1)) > max_taps:
-        dil += 1
+    offs = [
+        (dz, dy, dx)
+        for dz in range(-rz, rz + 1)
+        for dy in range(-ry, ry + 1)
+        for dx in range(-rx, rx + 1)
+    ]
+    offs.sort(key=lambda o: (o[0] ** 2 + o[1] ** 2 + o[2] ** 2, o))
+    return jnp.asarray(offs[:max_taps], dtype=jnp.int32)  # (W, 3)
+
+
+def _taps_for_radius(query_range: Tuple[int, int, int], voxel_size_eff,
+                     radius: float, max_taps: int = 135):
+    """EXACT static tap set: every offset whose minimum possible center
+    distance to a query anywhere inside its own cell is <= radius.
+
+    Per dim the minimum |(o_d + 0.5 - frac)| * vs_d over frac in [0, 1) is
+    max(|o_d| - 0.5, 0) * vs_d; offsets failing the combined bound can never
+    contain a neighbor within the ball and are dropped statically. Offsets
+    are ordered by nominal center distance (ties broken lexicographically).
+    """
+    rz, ry, rx = query_range
+    vsx, vsy, vsz = (float(v) for v in voxel_size_eff)
     offs = []
-    for dz in range(-rz, rz + 1, dil):
-        for dy in range(-ry, ry + 1, dil):
-            for dx in range(-rx, rx + 1, dil):
-                offs.append((dz, dy, dx))
-    offs.sort(key=lambda o: o[0] ** 2 + o[1] ** 2 + o[2] ** 2)
-    return jnp.asarray(offs, dtype=jnp.int32)  # (W, 3)
+    for dz in range(-rz, rz + 1):
+        for dy in range(-ry, ry + 1):
+            for dx in range(-rx, rx + 1):
+                md2 = ((max(abs(dx) - 0.5, 0.0) * vsx) ** 2
+                       + (max(abs(dy) - 0.5, 0.0) * vsy) ** 2
+                       + (max(abs(dz) - 0.5, 0.0) * vsz) ** 2)
+                if md2 <= radius * radius + 1e-9:
+                    offs.append((dz, dy, dx))
+    offs.sort(key=lambda o: ((o[0] * vsz) ** 2 + (o[1] * vsy) ** 2 + (o[2] * vsx) ** 2, o))
+    return jnp.asarray(offs[:max_taps], dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("grid", "query_range", "nsample", "downsample"))
@@ -103,26 +128,28 @@ def voxel_query(
     return sel_idx, sel_valid, sel_centers
 
 
-@partial(jax.jit, static_argnames=("grid", "query_range", "nsample", "downsample", "max_taps"))
+@partial(jax.jit, static_argnames=("grid", "voxel_size", "query_range", "nsample",
+                                   "downsample", "radius", "max_taps"))
 def voxel_query_fast(
     query_xyz,  # (Q, 3) world coords (any order)
     voxel_keys,  # (V,) sorted int32
     grid: GridSpec,
-    voxel_size,
+    voxel_size: Tuple[float, float, float],
     point_cloud_range,
     downsample: int,
     query_range: Tuple[int, int, int],
     radius: float,
     nsample: int,
-    max_taps: int = 33,
+    max_taps: int = 135,
 ):
     """Rank-join voxel query: sort the queries once, then every window tap is
     a constant key offset of a sorted array -- resolved by ONE batched
     sort-join (lookup_sorted_rows) instead of per-tap binary searches.
 
     This is the production path of the RoI grid pooling (the reference's
-    voxel_query.cu); the window is capped at ``max_taps`` offsets (dilated to
-    cover the configured range), keeping the nearest ``nsample`` found.
+    voxel_query.cu). The tap set is the EXACT static pruning of the window to
+    offsets that can possibly contain a ball neighbor (_taps_for_radius);
+    the nearest ``nsample`` found neighbors are kept.
     Same return contract as ``voxel_query``.
     """
     q_n = query_xyz.shape[0]
@@ -139,7 +166,8 @@ def voxel_query_fast(
     order = jnp.argsort(qkeys)
     sq = qkeys[order]  # sorted query keys
 
-    offs = _window_offsets(query_range, max_taps=max_taps)  # (W, 3) zyx
+    offs = _taps_for_radius(query_range, tuple(float(x) * downsample for x in voxel_size),
+                            radius, max_taps=max_taps)  # (W, 3) zyx
     w = offs.shape[0]
     deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]  # (W,)
     rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
@@ -164,10 +192,16 @@ def voxel_query_fast(
     dist = jnp.linalg.norm(centers - sorted_query_xyz[None, :, :], axis=-1)  # (W, Q)
     ok = found_all & (dist <= radius)
     score = jnp.where(ok, -dist, -jnp.inf)
-    top_score, sel = jax.lax.top_k(score.T, nsample)  # (Q, nsample) over taps
+    k_eff = min(nsample, w)  # tiny tap sets (coarse grids) may undercut nsample
+    top_score, sel = jax.lax.top_k(score.T, k_eff)  # (Q, k_eff) over taps
     sel_idx = jnp.take_along_axis(idx_all.T, sel, axis=1)
     sel_valid = jnp.isfinite(top_score)
     sel_centers = jnp.take_along_axis(jnp.transpose(centers, (1, 0, 2)), sel[..., None], axis=1)
+    if k_eff < nsample:
+        pad = nsample - k_eff
+        sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad)))
+        sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
+        sel_centers = jnp.pad(sel_centers, ((0, 0), (0, pad), (0, 0)))
     # unsort back to the caller's query order
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
     return sel_idx[inv], sel_valid[inv], sel_centers[inv]

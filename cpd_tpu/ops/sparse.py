@@ -165,15 +165,18 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
     safe_keys = jnp.where(valid, keys, SENTINEL)
 
     offsets = [(dz - cz, dy - cy, dx - cx) for dz, dy, dx in _kernel_offsets(kernel)]
-    center_col = offsets.index((0, 0, 0))
-    non_center = [o for o in offsets if o != (0, 0, 0)]
+    # symmetry: if keys[j] == keys[i] + d then keys[i] == keys[j] - d, so only
+    # the positive-delta half of the window needs a join; the negative half is
+    # the inverse pair map (one scatter per row) -- halves the sort volume.
+    pos_offsets = [o for o in offsets
+                   if (o[0] * grid.ny + o[1]) * grid.nx + o[2] > 0]
     deltas = jnp.asarray(
-        [(oz * grid.ny + oy) * grid.nx + ox for oz, oy, ox in non_center], jnp.int32
+        [(oz * grid.ny + oy) * grid.nx + ox for oz, oy, ox in pos_offsets], jnp.int32
     )
-    queries = safe_keys[None, :] + deltas[:, None]  # (K-1, V) sorted rows
+    queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
     idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
     # wrap rejection: the neighbor coordinate must be in bounds per dim
-    offs = jnp.asarray(non_center, jnp.int32)  # (K-1, 3) zyx
+    offs = jnp.asarray(pos_offsets, jnp.int32)  # (P, 3) zyx
     nc = coords[None, :, :] + offs[:, None, :]
     in_bounds = (
         (nc[..., 2] >= 0) & (nc[..., 2] < grid.nx)
@@ -182,16 +185,29 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
     )
     found_all = found_all & in_bounds & valid[None, :]
 
+    # invert each positive row into its mirror: matched pairs are injective
+    arange = jnp.arange(n, dtype=jnp.int32)
+    safe_tgt = jnp.where(found_all, idx_all, n)  # scatter drop slot
+    idx_neg = jnp.zeros((len(pos_offsets), n + 1), jnp.int32).at[
+        jnp.arange(len(pos_offsets))[:, None], safe_tgt
+    ].set(jnp.broadcast_to(arange[None], found_all.shape))[:, :n]
+    found_neg = jnp.zeros((len(pos_offsets), n + 1), bool).at[
+        jnp.arange(len(pos_offsets))[:, None], safe_tgt
+    ].set(found_all)[:, :n]
+
+    pos_col = {o: k for k, o in enumerate(pos_offsets)}
     idx_cols, found_cols = [], []
-    k = 0
-    for col in range(len(offsets)):
-        if col == center_col:
-            idx_cols.append(jnp.arange(n, dtype=jnp.int32))
+    for o in offsets:
+        if o == (0, 0, 0):
+            idx_cols.append(arange)
             found_cols.append(valid)
+        elif o in pos_col:
+            idx_cols.append(idx_all[pos_col[o]])
+            found_cols.append(found_all[pos_col[o]])
         else:
-            idx_cols.append(idx_all[k])
-            found_cols.append(found_all[k])
-            k += 1
+            mirror = (-o[0], -o[1], -o[2])
+            idx_cols.append(idx_neg[pos_col[mirror]])
+            found_cols.append(found_neg[pos_col[mirror]])
     return Rulebook(
         idx=jnp.stack(idx_cols, axis=1),
         found=jnp.stack(found_cols, axis=1),

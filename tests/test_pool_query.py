@@ -1,0 +1,67 @@
+"""voxel_query / voxel_query_fast vs brute-force neighbor oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+from cpd_tpu.ops import pool
+from cpd_tpu.ops.sparse import GridSpec, INVALID_KEY
+
+
+def _setup(seed=0, n_vox=300, n_q=50):
+    rng = np.random.default_rng(seed)
+    grid = GridSpec(20, 20, 10)
+    cells = grid.num_cells
+    keys = np.sort(rng.choice(cells, n_vox, replace=False)).astype(np.int32)
+    cap = n_vox + 20
+    keys_pad = np.concatenate([keys, np.full(20, INVALID_KEY, np.int32)])
+    vs = (0.5, 0.5, 0.5)
+    pcr = (0.0, 0.0, 0.0, 10.0, 10.0, 5.0)
+    # voxel centers
+    x = keys % grid.nx
+    y = (keys // grid.nx) % grid.ny
+    z = keys // (grid.nx * grid.ny)
+    centers = np.stack([(x + 0.5) * 0.5, (y + 0.5) * 0.5, (z + 0.5) * 0.5], 1)
+    queries = rng.uniform(0.5, 9.5, (n_q, 3)).astype(np.float32)
+    queries[:, 2] = rng.uniform(0.5, 4.5, n_q)
+    return grid, keys, keys_pad, centers, queries, vs, pcr
+
+
+def _oracle(queries, centers, radius, nsample):
+    out = []
+    for q in queries:
+        d = np.linalg.norm(centers - q, axis=1)
+        idx = np.where(d <= radius)[0]
+        idx = idx[np.argsort(d[idx])][:nsample]
+        out.append(set(idx.tolist()))
+    return out
+
+
+def test_voxel_query_fast_matches_oracle():
+    """Exact in the supported regime: radius <= 2 voxel units, where the
+    33 distance-closest taps cover the whole ball (all offsets with
+    d^2 <= 4 number exactly 33 -- the production configs all satisfy this:
+    POOL_RADIUS <= 2x the scale voxel size)."""
+    grid, keys, keys_pad, centers, queries, vs, pcr = _setup()
+    radius, nsample = 1.0, 8  # 2.0 voxel units
+    idx, valid, cent = pool.voxel_query_fast(
+        jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
+        downsample=1, query_range=(2, 2, 2), radius=radius, nsample=nsample,
+    )
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    want = _oracle(queries, centers, radius, nsample)
+    for i in range(len(queries)):
+        got = set(idx[i][valid[i]].tolist())
+        assert got == want[i], (i, got, want[i])
+
+
+def test_voxel_query_slow_matches_oracle():
+    grid, keys, keys_pad, centers, queries, vs, pcr = _setup(1)
+    radius, nsample = 1.0, 8
+    idx, valid, cent = pool.voxel_query(
+        jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
+        downsample=1, query_range=(2, 2, 2), radius=radius, nsample=nsample,
+    )
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    want = _oracle(queries, centers, radius, nsample)
+    for i in range(len(queries)):
+        got = set(idx[i][valid[i]].tolist())
+        assert got == want[i], i
