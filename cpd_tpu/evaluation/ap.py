@@ -255,3 +255,27 @@ def kitti_style_eval(det_annos: List[dict], gt_annos: List[dict],
             )
     lines = [f"{k}: {v:.4f}" for k, v in sorted(results.items())]
     return "\n".join(lines), results
+
+
+def recall_stats(det_annos, gt_annos, thresh_list=(0.3, 0.5, 0.7)):
+    """Recall of detections vs gt at several IoU thresholds
+    (detector3d_template.py:344-386 recall counters, eval_utils.py:94-101).
+
+    Class-agnostic, score-ignoring: measures whether any detection covers
+    each gt. Returns {'recall_0.3': ..., 'gt_count': N}.
+    """
+    hits = {t: 0 for t in thresh_list}
+    total_gt = 0
+    for det, gt in zip(det_annos, gt_annos):
+        gboxes = np.asarray(gt["gt_boxes_lidar"]).reshape(-1, 7)
+        dboxes = np.asarray(det["boxes_lidar"]).reshape(-1, 7)
+        total_gt += len(gboxes)
+        if len(gboxes) == 0 or len(dboxes) == 0:
+            continue
+        iou = iou_matrix(dboxes, gboxes)
+        best = iou.max(axis=0)
+        for t in thresh_list:
+            hits[t] += int((best >= t).sum())
+    out = {f"recall_{t}": (hits[t] / total_gt if total_gt else 0.0) for t in thresh_list}
+    out["gt_count"] = total_gt
+    return out

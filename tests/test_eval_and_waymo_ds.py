@@ -190,3 +190,14 @@ def test_waymo_dataset_eval_mode(synthetic_sequence):
     } for a in gt_annos]
     _, r = ds.evaluation(dets, ["Vehicle", "Pedestrian"], gt_annos=gt_annos)
     assert r["Vehicle_L2/AP"] > 99.0
+
+
+def test_recall_stats():
+    from cpd_tpu.evaluation.ap import recall_stats
+
+    dets, gts = _mk_annos(perfect=False)
+    rec = recall_stats(dets, gts)
+    assert 0.3 < rec["recall_0.7"] < 0.7  # half the gts detected
+    dets2, gts2 = _mk_annos(perfect=True)
+    rec2 = recall_stats(dets2, gts2)
+    assert rec2["recall_0.7"] > 0.99

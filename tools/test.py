@@ -61,6 +61,14 @@ def eval_one_checkpoint(model, state, loader, dataset, class_names, logger,
     with open(out_dir / "result.pkl", "wb") as f:
         pickle.dump(det_annos, f)
     result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    try:
+        from cpd_tpu.evaluation.ap import recall_stats
+
+        rec = recall_stats(det_annos, dataset.collect_gt_annos()[: len(det_annos)])
+        result_dict.update(rec)
+        logger.info("recall: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items() if k != "gt_count"))
+    except Exception:
+        pass
     logger.info("\n" + result_str)
     return result_dict
 
