@@ -30,6 +30,7 @@ def main():
         backbone_caps=(80_000, 40_000, 20_000, 20_000),
         mm=False,
         num_rois=500,
+        num_rois_test=200,
         roi_per_image=130,
     )
     b, p = 1, 200_000

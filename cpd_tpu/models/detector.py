@@ -49,7 +49,8 @@ class VoxelRCNN(nn.Module):
     backbone_caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = True
     with_roi_head: bool = True
-    num_rois: int = 500
+    num_rois: int = 500          # proposals kept in training (reference TRAIN NMS_POST)
+    num_rois_test: int = 200     # proposals refined at eval (reference TEST NMS_POST, yaml ROI_HEAD.NMS_CONFIG.TEST)
     roi_grid_size: int = 6
     roi_per_image: int = 130
     bn_axis_name: Optional[str] = None
@@ -114,12 +115,14 @@ class VoxelRCNN(nn.Module):
             "backbone_out": backbone_out,
             "bev_grid": enc_grid,
         }
-        rpn_nms = self.rpn_nms or {
-            "NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096, "NMS_POST_MAXSIZE": self.num_rois,
-        }
+        n_rois = self.num_rois if train else self.num_rois_test
+        rpn_nms = dict(self.rpn_nms or {
+            "NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096,
+        })
+        rpn_nms["NMS_POST_MAXSIZE"] = n_rois
         proposals = self.dense_head.generate_predicted_boxes(
             head_preds, k=500, score_thresh=0.0 if train else 0.1,
-            nms_cfg=rpn_nms, post_max_size=self.num_rois,
+            nms_cfg=rpn_nms, post_max_size=n_rois,
         )
         # proposals are constants to the second stage (reference proposal_layer
         # runs under no_grad, roi_head_template.py:52); RPN learns via its own loss
@@ -229,7 +232,8 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
         backbone_caps=tuple(b3d.get("VOXEL_CAPS", default_caps)),
         mm=bool(b3d.get("MM", False)),
         with_roi_head=roi is not None,
-        num_rois=int(dense_post.get("NMS_CONFIG", {}).get("NMS_POST_MAXSIZE", 500)),
+        num_rois=int(roi.get("NMS_CONFIG", {}).get("TRAIN", {}).get("NMS_POST_MAXSIZE", 500)) if roi else 500,
+        num_rois_test=int(roi.get("NMS_CONFIG", {}).get("TEST", {}).get("NMS_POST_MAXSIZE", 200)) if roi else 200,
         roi_per_image=int(roi["TARGET_CONFIG"]["ROI_PER_IMAGE"]) if roi else 130,
         roi_grid_size=int(roi.get("ROI_GRID_POOL", {}).get("GRID_SIZE", 6)) if roi else 6,
         rpn_nms=dict(dense_post.get("NMS_CONFIG", {})) or None,
