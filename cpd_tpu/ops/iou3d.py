@@ -102,14 +102,71 @@ def _overlap_bev_single(corners_a, corners_b):
     return _convex_area_from_candidates(pts, valid)
 
 
-def boxes_overlap_bev(boxes_a, boxes_b):
+def _overlap_bev_clip(corners_a, corners_b):
+    """BEV overlap via vectorized Sutherland-Hodgman clipping -- NO sorting.
+
+    Clips quad A by B's 4 half-planes with a fixed 8-vertex capacity (a convex
+    polygon gains at most one vertex per clip: 4 -> 8). Each pass emits, per
+    slot, (intersection-if-crossing, point-if-inside) and compacts them with a
+    cumsum scatter. ~3x faster on TPU than the candidate-sort construction
+    (the per-pair 24-element argsort dominates there); used by the pairwise
+    IoU matrices (NMS, target matching).
+    """
+    cap = 8
+    poly = jnp.zeros((cap, 2), corners_a.dtype).at[:4].set(corners_a)
+    count = jnp.int32(4)
+
+    def clip_edge(carry, edge):
+        poly, count = carry
+        a, b = edge[0], edge[1]
+        slot = jnp.arange(cap)
+        active = slot < count
+        nxt_i = jnp.where(slot + 1 < count, slot + 1, 0)
+        cur = poly
+        nxt = poly[nxt_i]
+        edge_v = b - a
+        cur_side = edge_v[0] * (cur[:, 1] - a[1]) - edge_v[1] * (cur[:, 0] - a[0])
+        nxt_side = edge_v[0] * (nxt[:, 1] - a[1]) - edge_v[1] * (nxt[:, 0] - a[0])
+        cur_in = cur_side >= -_EPS
+        nxt_in = nxt_side >= -_EPS
+        denom = cur_side - nxt_side
+        t = cur_side / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+        inter = cur + t[:, None] * (nxt - cur)
+        # per slot: emit [inter if crossing, nxt if nxt inside]
+        emit_inter = active & (cur_in ^ nxt_in)
+        emit_next = active & nxt_in
+        flags = jnp.stack([emit_inter, emit_next], axis=1).reshape(-1)  # (2*cap,)
+        pts = jnp.stack([inter, nxt], axis=1).reshape(-1, 2)  # (2*cap, 2)
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        new_count = jnp.where(flags.any(), pos[-1] + 1, 0).astype(jnp.int32)
+        tgt = jnp.where(flags, pos, cap)  # drop slot
+        new_poly = jnp.zeros((cap + 1, 2), poly.dtype).at[tgt].set(
+            jnp.where(flags[:, None], pts, 0.0), mode="drop"
+        )[:cap]
+        return (new_poly, jnp.minimum(new_count, cap)), None
+
+    edges = jnp.stack([corners_b, jnp.roll(corners_b, -1, axis=0)], axis=1)  # (4, 2, 2)
+    (poly, count), _ = jax.lax.scan(clip_edge, (poly, count), edges)
+    slot = jnp.arange(cap)
+    valid = slot < count
+    nxt = poly[jnp.where(slot + 1 < count, slot + 1, 0)]
+    contrib = poly[:, 0] * nxt[:, 1] - nxt[:, 0] * poly[:, 1]
+    area = 0.5 * jnp.abs(jnp.sum(jnp.where(valid, contrib, 0.0)))
+    return jnp.where(count >= 3, area, 0.0)
+
+
+def boxes_overlap_bev(boxes_a, boxes_b, method: str = "clip"):
     """(N, 7), (M, 7) -> (N, M) rotated BEV overlap areas.
 
     Parity with the reference ``boxes_overlap_bev_gpu``
-    (cpd/ops/iou3d_nms/src/iou3d_nms_api.cpp:11)."""
+    (cpd/ops/iou3d_nms/src/iou3d_nms_api.cpp:11). method 'clip' (default) is
+    the sort-free Sutherland-Hodgman pass; 'candidates' the sort-based
+    construction (kept as an independent second implementation for tests).
+    """
     ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
     cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
-    fn = jax.vmap(jax.vmap(_overlap_bev_single, in_axes=(None, 0)), in_axes=(0, None))
+    single = _overlap_bev_clip if method == "clip" else _overlap_bev_single
+    fn = jax.vmap(jax.vmap(single, in_axes=(None, 0)), in_axes=(0, None))
     return fn(ca, cb)
 
 

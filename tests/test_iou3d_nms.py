@@ -127,3 +127,12 @@ def test_fast_nms_close_to_greedy():
     assert top in kept_fast
     # on sparse scenes they should mostly agree
     assert len(kept_fast) >= 0.7 * len(kept_greedy)
+
+
+def test_clip_and_candidate_overlap_agree():
+    rng = np.random.default_rng(12)
+    a = oracles.random_boxes(20, rng, span=8.0).astype(np.float32)
+    b = oracles.random_boxes(20, rng, span=8.0).astype(np.float32)
+    o_clip = np.asarray(iou3d.boxes_overlap_bev(jnp.asarray(a), jnp.asarray(b), method="clip"))
+    o_cand = np.asarray(iou3d.boxes_overlap_bev(jnp.asarray(a), jnp.asarray(b), method="candidates"))
+    np.testing.assert_allclose(o_clip, o_cand, atol=5e-3)
