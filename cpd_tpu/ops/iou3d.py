@@ -108,9 +108,9 @@ def _overlap_bev_clip(corners_a, corners_b):
     Clips quad A by B's 4 half-planes with a fixed 8-vertex capacity (a convex
     polygon gains at most one vertex per clip: 4 -> 8). Each pass emits, per
     slot, (intersection-if-crossing, point-if-inside) and compacts them with a
-    cumsum scatter. ~3x faster on TPU than the candidate-sort construction
-    (the per-pair 24-element argsort dominates there); used by the pairwise
-    IoU matrices (NMS, target matching).
+    cumsum scatter. NOTE: measured SLOWER than the candidate-sort method on
+    TPU (per-pair scatter compaction dominates); kept as an independent
+    implementation for correctness cross-checks.
     """
     cap = 8
     poly = jnp.zeros((cap, 2), corners_a.dtype).at[:4].set(corners_a)
@@ -155,13 +155,14 @@ def _overlap_bev_clip(corners_a, corners_b):
     return jnp.where(count >= 3, area, 0.0)
 
 
-def boxes_overlap_bev(boxes_a, boxes_b, method: str = "clip"):
+def boxes_overlap_bev(boxes_a, boxes_b, method: str = "candidates"):
     """(N, 7), (M, 7) -> (N, M) rotated BEV overlap areas.
 
     Parity with the reference ``boxes_overlap_bev_gpu``
-    (cpd/ops/iou3d_nms/src/iou3d_nms_api.cpp:11). method 'clip' (default) is
-    the sort-free Sutherland-Hodgman pass; 'candidates' the sort-based
-    construction (kept as an independent second implementation for tests).
+    (cpd/ops/iou3d_nms/src/iou3d_nms_api.cpp:11). method 'candidates'
+    (default; measured faster on TPU -- the S-H pass pays per-pair scatter
+    compaction) or 'clip' (sort-free Sutherland-Hodgman, kept as an
+    independent implementation for cross-checks).
     """
     ca = boxes_to_corners_bev(boxes_a)  # (N, 4, 2)
     cb = boxes_to_corners_bev(boxes_b)  # (M, 4, 2)
