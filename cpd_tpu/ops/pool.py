@@ -21,7 +21,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .sparse import GridSpec, INVALID_KEY, SENTINEL, lookup, lookup_sorted_rows
+from .sparse import (DENSE_LUT_MAX_CELLS, GridSpec, INVALID_KEY, SENTINEL,
+                     build_dense_lut, lookup, lookup_dense, lookup_sorted_rows)
 from .geometry import rotate_points_along_z
 
 
@@ -163,17 +164,21 @@ def voxel_query_fast(
     )
     qkeys = (qc_xyz[:, 2] * grid.ny + qc_xyz[:, 1]) * grid.nx + qc_xyz[:, 0]
     qkeys = jnp.where(in_grid, qkeys, SENTINEL)
-    order = jnp.argsort(qkeys)
-    sq = qkeys[order]  # sorted query keys
 
     offs = _taps_for_radius(query_range, tuple(float(x) * downsample for x in voxel_size),
                             radius, max_taps=max_taps)  # (W, 3) zyx
     w = offs.shape[0]
     deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]  # (W,)
-    rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
-    safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
-    idx_all, found_all = lookup_sorted_rows(safe_keys, rows)  # (W, Q)
-    # wrap rejection per dim on the sorted-query coordinates
+
+    use_lut = grid.num_cells <= DENSE_LUT_MAX_CELLS
+    if use_lut:
+        # dense LUT: direct gathers, no query sorting
+        order = jnp.arange(q_n, dtype=jnp.int32)
+        sq = qkeys
+    else:
+        order = jnp.argsort(qkeys)
+        sq = qkeys[order]  # sorted query keys
+
     sqc = qc_xyz[order]  # (Q, 3) xyz
     nx_c = sqc[None, :, 0] + offs[:, None, 2]
     ny_c = sqc[None, :, 1] + offs[:, None, 1]
@@ -181,8 +186,16 @@ def voxel_query_fast(
     in_bounds = (
         (nx_c >= 0) & (nx_c < grid.nx) & (ny_c >= 0) & (ny_c < grid.ny)
         & (nz_c >= 0) & (nz_c < grid.nz)
-    )
-    found_all = found_all & in_bounds
+    ) & (sq[None, :] < SENTINEL)
+    if use_lut:
+        lut = build_dense_lut(voxel_keys, grid)
+        rows = jnp.where(sq[None, :] >= SENTINEL, 0, sq[None, :]) + deltas[:, None]
+        idx_all, found_all = lookup_dense(lut, rows, in_bounds)
+    else:
+        rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
+        safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
+        idx_all, found_all = lookup_sorted_rows(safe_keys, rows)  # (W, Q)
+        found_all = found_all & in_bounds
     centers = jnp.stack([
         (nx_c.astype(jnp.float32) + 0.5) * vs[0] + pcr[0],
         (ny_c.astype(jnp.float32) + 0.5) * vs[1] + pcr[1],

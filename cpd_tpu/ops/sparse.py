@@ -128,6 +128,32 @@ def lookup_sorted_rows(sorted_keys, queries):
     return idx, found
 
 
+# grids up to this many cells use a dense key->row lookup table (scatter once,
+# then every neighbor lookup is one int32 gather); larger grids use the
+# rank-join. 16M cells = 64MB HBM per sample -- cheap at conv2 and below,
+# prohibitive at the 92.7M-cell stage-0 grid.
+DENSE_LUT_MAX_CELLS = 16_000_000
+
+
+def build_dense_lut(keys, grid: GridSpec):
+    """(V,) sorted keys -> (num_cells,) int32 LUT: LUT[key] = row, -1 empty."""
+    valid = keys != INVALID_KEY
+    safe = jnp.where(valid, keys, 0)
+    lut = jnp.full((grid.num_cells,), -1, jnp.int32)
+    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    return lut.at[safe].set(jnp.where(valid, rows, -1), mode="drop")
+
+
+def lookup_dense(lut, queries, query_ok):
+    """LUT path: queries (...,) int32 cell keys; query_ok masks in-bounds rows.
+
+    Returns (idx clamped >=0, found)."""
+    safe_q = jnp.where(query_ok, queries, 0)
+    rows = lut[safe_q]
+    found = query_ok & (rows >= 0)
+    return jnp.where(found, rows, 0).astype(jnp.int32), found
+
+
 def _kernel_offsets(kernel: Tuple[int, int, int]):
     """Static list of (dz, dy, dx) offsets relative to the kernel origin."""
     kx, ky, kz = kernel
@@ -166,15 +192,13 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
 
     offsets = [(dz - cz, dy - cy, dx - cx) for dz, dy, dx in _kernel_offsets(kernel)]
     # symmetry: if keys[j] == keys[i] + d then keys[i] == keys[j] - d, so only
-    # the positive-delta half of the window needs a join; the negative half is
-    # the inverse pair map (one scatter per row) -- halves the sort volume.
+    # the positive-delta half of the window needs resolving; the negative half
+    # is the inverse pair map (one scatter per row) -- halves the work.
     pos_offsets = [o for o in offsets
                    if (o[0] * grid.ny + o[1]) * grid.nx + o[2] > 0]
     deltas = jnp.asarray(
         [(oz * grid.ny + oy) * grid.nx + ox for oz, oy, ox in pos_offsets], jnp.int32
     )
-    queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
-    idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
     # wrap rejection: the neighbor coordinate must be in bounds per dim
     offs = jnp.asarray(pos_offsets, jnp.int32)  # (P, 3) zyx
     nc = coords[None, :, :] + offs[:, None, :]
@@ -183,7 +207,14 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
         & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
         & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
     )
-    found_all = found_all & in_bounds & valid[None, :]
+    if grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        lut = build_dense_lut(keys, grid)
+        queries = keys[None, :] + deltas[:, None]
+        idx_all, found_all = lookup_dense(lut, queries, in_bounds & valid[None, :])
+    else:
+        queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
+        idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
+        found_all = found_all & in_bounds & valid[None, :]
 
     # invert each positive row into its mirror: matched pairs are injective
     arange = jnp.arange(n, dtype=jnp.int32)
@@ -299,15 +330,19 @@ def _build_conv_rulebook_jit(
         out_coords[:, 2] * sx - px,
     ], axis=-1)[None, :, :] + offs[:, None, :]  # (K, Vo, 3)
     qkeys = (ic[..., 0] * grid.ny + ic[..., 1]) * grid.nx + ic[..., 2]
-    qkeys = jnp.where(out_valid[None, :], qkeys, SENTINEL).astype(jnp.int32)
-    safe_keys = jnp.where(keys != INVALID_KEY, keys, SENTINEL)
-    idx_all, found_all = lookup_sorted_rows(safe_keys, qkeys)
     in_bounds = (
         (ic[..., 2] >= 0) & (ic[..., 2] < grid.nx)
         & (ic[..., 1] >= 0) & (ic[..., 1] < grid.ny)
         & (ic[..., 0] >= 0) & (ic[..., 0] < grid.nz)
-    )
-    found_all = found_all & in_bounds
+    ) & out_valid[None, :]
+    if grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        lut = build_dense_lut(keys, grid)
+        idx_all, found_all = lookup_dense(lut, qkeys.astype(jnp.int32), in_bounds)
+    else:
+        qk = jnp.where(in_bounds, qkeys, SENTINEL).astype(jnp.int32)
+        safe_keys = jnp.where(keys != INVALID_KEY, keys, SENTINEL)
+        idx_all, found_all = lookup_sorted_rows(safe_keys, qk)
+        found_all = found_all & in_bounds
     return Rulebook(
         idx=jnp.transpose(idx_all),
         found=jnp.transpose(found_all),
