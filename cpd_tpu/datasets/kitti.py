@@ -208,3 +208,54 @@ class Kitti2WaymoDataset(DatasetTemplate):
                 "difficulty": np.asarray([min(o.difficulty, 2) for o in objs]),
             })
         return annos
+
+
+def create_kitti_infos(dataset: "Kitti2WaymoDataset", out_path):
+    """Info pkl creation (kitti2waymo_dataset.py:457 capability)."""
+    infos = []
+    for sid in dataset.sample_ids:
+        objs = [o for o in dataset.get_label(sid) if o.cls_type in KITTI2WAYMO_NAME]
+        calib = dataset.get_calib(sid)
+        infos.append({
+            "sample_idx": sid,
+            "annos": {
+                "gt_boxes_lidar": boxes_camera_to_lidar(objs, calib),
+                "name": np.asarray([KITTI2WAYMO_NAME[o.cls_type] for o in objs]),
+                "difficulty": np.asarray([o.difficulty for o in objs]),
+                "truncated": np.asarray([o.truncation for o in objs]),
+                "occluded": np.asarray([o.occlusion for o in objs]),
+            },
+        })
+    with open(out_path, "wb") as f:
+        pickle.dump(infos, f)
+    return infos
+
+
+def create_kitti_groundtruth_database(dataset: "Kitti2WaymoDataset", out_path,
+                                      min_points: int = 5):
+    """gt-sampling database from KITTI labels (kitti2waymo_dataset.py:194)."""
+    from .box_np import points_in_boxes_mask_fast
+
+    db = {}
+    for sid in dataset.sample_ids:
+        pts = dataset.get_lidar(sid)
+        calib = dataset.get_calib(sid)
+        objs = [o for o in dataset.get_label(sid) if o.cls_type in KITTI2WAYMO_NAME]
+        boxes = boxes_camera_to_lidar(objs, calib)
+        if not len(boxes):
+            continue
+        masks = points_in_boxes_mask_fast(pts[:, :3], boxes)
+        for i, o in enumerate(objs):
+            obj_pts = pts[masks[i]]
+            if len(obj_pts) < min_points:
+                continue
+            name = KITTI2WAYMO_NAME[o.cls_type]
+            db.setdefault(name, []).append({
+                "name": name, "box3d_lidar": boxes[i].astype(np.float32),
+                "points": obj_pts.astype(np.float32),
+                "num_points_in_gt": len(obj_pts), "sample_idx": sid,
+                "difficulty": o.difficulty,
+            })
+    with open(out_path, "wb") as f:
+        pickle.dump(db, f)
+    return {k: len(v) for k, v in db.items()}
