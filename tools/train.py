@@ -36,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--debug_steps", type=int, default=0,
                    help="stop after N optimizer steps (smoke runs)")
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--eval_after", type=int, default=0,
+                   help="evaluate the last N checkpoints after training (reference repeat_eval_ckpt)")
     p.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     return p.parse_args(argv)
 
@@ -149,6 +151,20 @@ def main(argv=None, dataset=None):
             break
     metrics.close()
     logger.info("training complete")
+    if args.eval_after:
+        # reference behavior: evaluate the last N epochs' checkpoints
+        # (train.py:181-195 -> repeat_eval_ckpt)
+        from cpd_tpu.utils.checkpoint import list_checkpoints
+        from tools import test as test_cli
+
+        ckpts = list_checkpoints(ckpt_dir)[-args.eval_after:]
+        for ep, path in ckpts:
+            logger.info(f"post-train eval of epoch {ep}")
+            test_cli.main([
+                "--cfg_file", args.cfg_file,
+                "--output_dir", str(out_dir / f"eval_epoch_{ep}"),
+                "--ckpt", str(path),
+            ])
     return state
 
 
