@@ -170,7 +170,10 @@ def voxel_query_fast(
     w = offs.shape[0]
     deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]  # (W,)
 
-    use_lut = grid.num_cells <= DENSE_LUT_MAX_CELLS
+    # NOTE: the LUT variant of this query SIGABRTs the TPU AOT compiler
+    # (gather of (W, Q) indices from the dense table inside the vmapped RoI
+    # head); the rulebook LUTs compile fine. Disabled pending a Pallas kernel.
+    use_lut = False
     if use_lut:
         # dense LUT: direct gathers, no query sorting
         order = jnp.arange(q_n, dtype=jnp.int32)
