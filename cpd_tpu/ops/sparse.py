@@ -130,10 +130,10 @@ def lookup_sorted_rows(sorted_keys, queries):
 
 # grids up to this many cells use a dense key->row lookup table (scatter once,
 # then every neighbor lookup is one int32 gather); larger grids use the
-# rank-join. 4M cells = 16MB HBM per sample (covers conv3/conv4 + RoI query
-# grids); the 11.9M-cell conv2 LUT crashed the TPU compiler (SIGABRT) so it
-# stays on the join path.
-DENSE_LUT_MAX_CELLS = 4_000_000
+# rank-join. 16M cells = 64MB HBM per sample: covers conv2 and below (the
+# SIGABRT previously blamed on this size was the voxel_query LUT variant,
+# which stays disabled); the 92.7M-cell stage-0 grid stays on the join path.
+DENSE_LUT_MAX_CELLS = 16_000_000
 
 
 def build_dense_lut(keys, grid: GridSpec):
