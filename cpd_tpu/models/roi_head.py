@@ -209,14 +209,17 @@ class GridPoolBranch(nn.Module):
             feats, keys, grid = backbone_out[name + suffix]
             pre = nn.Dense(self.mlp_channels, name=f"pre_{name}")(feats)
             pre = nn.relu(pre)
-            for gi, (qrange, radius) in enumerate(groups):
-                def q_one(qxyz, k):
-                    return pool.voxel_query_fast(
-                        qxyz, k, grid, tuple(self.voxel_size), self.point_cloud_range,
-                        ds, tuple(qrange), float(radius), self.nsample,
-                    )
+            radii = tuple(float(r) for _, r in groups)
+            qrange = tuple(max(g[0][d] for g in groups) for d in range(3))
 
-                idx, valid, centers = jax.vmap(q_one)(queries, keys)
+            def q_multi(qxyz, k):
+                return pool.voxel_query_multi(
+                    qxyz, k, grid, tuple(self.voxel_size), self.point_cloud_range,
+                    ds, qrange, radii, self.nsample,
+                )
+
+            group_results = jax.vmap(q_multi)(queries, keys)
+            for gi, (idx, valid, centers) in enumerate(group_results):
                 rel = centers - queries[:, :, None, :]
                 mlp = nn.Sequential([
                     nn.Dense(self.mlp_channels), nn.relu,

@@ -223,6 +223,86 @@ def voxel_query_fast(
     return sel_idx[inv], sel_valid[inv], sel_centers[inv]
 
 
+@partial(jax.jit, static_argnames=("grid", "voxel_size", "query_range", "nsample",
+                                   "downsample", "radii", "max_taps"))
+def voxel_query_multi(
+    query_xyz,
+    voxel_keys,
+    grid: GridSpec,
+    voxel_size: Tuple[float, float, float],
+    point_cloud_range,
+    downsample: int,
+    query_range: Tuple[int, int, int],
+    radii: Tuple[float, ...],
+    nsample: int,
+    max_taps: int = 135,
+):
+    """Multi-radius voxel query sharing ONE sort-join.
+
+    The smaller radii's tap sets are subsets of the largest radius's
+    (_taps_for_radius is monotone in radius), so a single join over the
+    largest tap set serves every group; each radius applies its own distance
+    mask before the per-query top-k. Halves the RoI-pooling join volume for
+    the standard two-group (0.4/0.8, 0.8/1.6) configs.
+
+    Returns a tuple of (idx, valid, centers) per radius.
+    """
+    q_n = query_xyz.shape[0]
+    vs = jnp.asarray(voxel_size, jnp.float32) * downsample
+    pcr = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    qc_xyz = jnp.floor((query_xyz - pcr) / vs).astype(jnp.int32)
+    in_grid = (
+        (qc_xyz[:, 0] >= 0) & (qc_xyz[:, 0] < grid.nx)
+        & (qc_xyz[:, 1] >= 0) & (qc_xyz[:, 1] < grid.ny)
+        & (qc_xyz[:, 2] >= 0) & (qc_xyz[:, 2] < grid.nz)
+    )
+    qkeys = (qc_xyz[:, 2] * grid.ny + qc_xyz[:, 1]) * grid.nx + qc_xyz[:, 0]
+    qkeys = jnp.where(in_grid, qkeys, SENTINEL)
+    order = jnp.argsort(qkeys)
+    sq = qkeys[order]
+    r_max = max(radii)
+    offs = _taps_for_radius(query_range, tuple(float(x) * downsample for x in voxel_size),
+                            r_max, max_taps=max_taps)
+    w = offs.shape[0]
+    deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]
+    rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
+    safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
+    idx_all, found_all = lookup_sorted_rows(safe_keys, rows)
+    sqc = qc_xyz[order]
+    nx_c = sqc[None, :, 0] + offs[:, None, 2]
+    ny_c = sqc[None, :, 1] + offs[:, None, 1]
+    nz_c = sqc[None, :, 2] + offs[:, None, 0]
+    in_bounds = (
+        (nx_c >= 0) & (nx_c < grid.nx) & (ny_c >= 0) & (ny_c < grid.ny)
+        & (nz_c >= 0) & (nz_c < grid.nz)
+    )
+    found_all = found_all & in_bounds
+    centers = jnp.stack([
+        (nx_c.astype(jnp.float32) + 0.5) * vs[0] + pcr[0],
+        (ny_c.astype(jnp.float32) + 0.5) * vs[1] + pcr[1],
+        (nz_c.astype(jnp.float32) + 0.5) * vs[2] + pcr[2],
+    ], axis=-1)
+    sorted_query_xyz = query_xyz[order]
+    dist = jnp.linalg.norm(centers - sorted_query_xyz[None, :, :], axis=-1)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
+    outs = []
+    for radius in radii:
+        ok = found_all & (dist <= radius)
+        score = jnp.where(ok, -dist, -jnp.inf)
+        k_eff = min(nsample, w)
+        top_score, sel = jax.lax.top_k(score.T, k_eff)
+        sel_idx = jnp.take_along_axis(idx_all.T, sel, axis=1)
+        sel_valid = jnp.isfinite(top_score)
+        sel_centers = jnp.take_along_axis(jnp.transpose(centers, (1, 0, 2)), sel[..., None], axis=1)
+        if k_eff < nsample:
+            pad = nsample - k_eff
+            sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad)))
+            sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
+            sel_centers = jnp.pad(sel_centers, ((0, 0), (0, pad), (0, 0)))
+        outs.append((sel_idx[inv], sel_valid[inv], sel_centers[inv]))
+    return tuple(outs)
+
+
 @partial(jax.jit, static_argnames=("nsample",))
 def ball_query(query_xyz, points_xyz, points_valid, radius: float, nsample: int):
     """Dense ball query (pointnet2_batch semantics): for each query, up to

@@ -65,3 +65,20 @@ def test_voxel_query_slow_matches_oracle():
     for i in range(len(queries)):
         got = set(idx[i][valid[i]].tolist())
         assert got == want[i], i
+
+
+def test_voxel_query_multi_matches_single():
+    import jax
+    grid, keys, keys_pad, centers, queries, vs, pcr = _setup(2)
+    multi = pool.voxel_query_multi(
+        jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
+        downsample=1, query_range=(2, 2, 2), radii=(0.5, 1.0), nsample=8,
+    )
+    for radius, (idx, valid, cent) in zip((0.5, 1.0), multi):
+        si, sv, sc = pool.voxel_query_fast(
+            jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
+            downsample=1, query_range=(2, 2, 2), radius=radius, nsample=8,
+        )
+        got = [set(np.asarray(idx)[i][np.asarray(valid)[i]].tolist()) for i in range(len(queries))]
+        want = [set(np.asarray(si)[i][np.asarray(sv)[i]].tolist()) for i in range(len(queries))]
+        assert got == want, radius
