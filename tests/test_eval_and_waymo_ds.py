@@ -201,3 +201,29 @@ def test_recall_stats():
     dets2, gts2 = _mk_annos(perfect=True)
     rec2 = recall_stats(dets2, gts2)
     assert rec2["recall_0.7"] > 0.99
+
+
+def test_waymo_dataset_multiframe(synthetic_sequence):
+    root, seq, labels = synthetic_sequence
+    from cpd_tpu.datasets.waymo_unsupervised import WaymoUnsupervisedDataset
+
+    cfg = {
+        "DATA_PATH": str(root), "PROCESSED_DATA_TAG": "",
+        "POINT_CLOUD_RANGE": [-75.2, -75.2, -2, 75.2, 75.2, 4],
+        "POINT_CAP": 16384, "GT_CAP": 32,
+        "InitLabelGenerator": "MFCF", "LabelRefiner": "C_PROTO",
+        "NUM_FRAMES": 3,
+        "DATA_SPLIT": {"train": "train", "test": "val"},
+        "SAMPLED_INTERVAL": {"train": 1, "test": 1},
+        "POINT_FEATURE_ENCODING": {
+            "used_feature_list": ["x", "y", "z", "intensity", "time"],
+            "src_feature_list": ["x", "y", "z", "intensity", "time"],
+        },
+    }
+    ds = WaymoUnsupervisedDataset(dataset_cfg=cfg, class_names=["Vehicle", "Pedestrian", "Cyclist"],
+                                  training=False, root_path=str(root))
+    s2 = ds[2]  # frame 2: concat of frames 2, 1, 0 with time channel
+    times = s2["points"][s2["points_valid"], 4]
+    uniq = np.unique(np.round(times.astype(np.float64), 2))
+    assert np.all(np.isin(uniq, [0.0, -0.1, -0.2])), uniq
+    assert (times < 0).sum() > 0  # past frames present
