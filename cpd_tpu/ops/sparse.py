@@ -130,10 +130,11 @@ def lookup_sorted_rows(sorted_keys, queries):
 
 # grids up to this many cells use a dense key->row lookup table (scatter once,
 # then every neighbor lookup is one int32 gather); larger grids use the
-# rank-join. 16M cells = 64MB HBM per sample: covers conv2 and below (the
-# SIGABRT previously blamed on this size was the voxel_query LUT variant,
-# which stays disabled); the 92.7M-cell stage-0 grid stays on the join path.
-DENSE_LUT_MAX_CELLS = 16_000_000
+# rank-join. 100M cells covers every CPD grid including stage 0 (92.7M cells
+# = 371MB int32 per sample -- measured faster than the join even so; lower
+# this if batch-4 training at full caps pressures HBM). The SIGABRT
+# previously blamed on LUT size was the voxel_query LUT variant (disabled).
+DENSE_LUT_MAX_CELLS = 100_000_000
 
 
 def build_dense_lut(keys, grid: GridSpec):

@@ -52,6 +52,47 @@ def merge_result_files(paths, iou_thresh: float = 0.7):
     return merged
 
 
+
+
+def merge_detections_tracking(result_pkl, out_pkl, match_dist: float = 3.0,
+                              min_track_len: int = 2):
+    """Sequence-level detection smoothing via the Kalman tracker
+    (merge_detections_tracking.py capability): track per-frame detections,
+    re-emit smoothed track boxes with track-max scores."""
+    from cpd_tpu.unsupervised.tracker import TrackSmooth
+
+    with open(result_pkl, "rb") as f:
+        dets = pickle.load(f)
+    boxes = [np.asarray(d["boxes_lidar"]).reshape(-1, 7) for d in dets]
+    scores = [np.asarray(d["score"]).reshape(-1) for d in dets]
+    sm = TrackSmooth({"match_dist": match_dist}, min_track_len)
+    sm.tracking(boxes, scores)
+    out = []
+    for f_i, d in enumerate(dets):
+        b, names, ids, s = sm.get_current_frame_objects_and_cls(f_i)
+        out.append({**d, "boxes_lidar": b.astype(np.float32), "score": np.asarray(s, np.float32),
+                    "name": names, "track_ids": ids})
+    with open(out_pkl, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
+def average_checkpoints(ckpt_paths, out_path):
+    """Model-soup checkpoint averaging (merge_model.py capability)."""
+    import jax
+
+    from cpd_tpu.utils.checkpoint import load_checkpoint
+
+    payloads = [load_checkpoint(p) for p in ckpt_paths]
+    avg = jax.tree_util.tree_map(lambda *xs: np.mean(np.stack(xs), axis=0),
+                                 *[p["params"] for p in payloads])
+    payloads[0]["params"] = avg
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(Path(out_path).absolute(), payloads[0])
+    return out_path
+
+
 if __name__ == "__main__":
     out, *ins = sys.argv[1:]
     merged = merge_result_files(ins)
