@@ -25,6 +25,17 @@ from ..ops.sparse import GridSpec, Rulebook
 from .norm import MaskedBatchNorm
 
 
+def stage_grids(grid: GridSpec):
+    """Static GridSpec per backbone output key (the 8x conv ladder)."""
+    g0 = grid
+    g1 = g0.downsample((2, 2, 2), (1, 1, 1), (3, 3, 3))
+    g2 = g1.downsample((2, 2, 2), (1, 1, 1), (3, 3, 3))
+    g3 = g2.downsample((2, 2, 2), (1, 1, 0), (3, 3, 3))
+    g_out = g3.downsample((1, 1, 2), (0, 0, 0), (1, 1, 3))
+    return {"x_conv1": g0, "x_conv2": g1, "x_conv3": g2, "x_conv4": g3,
+            "encoded": g_out}
+
+
 def _conv_init(key, shape, dtype=jnp.float32):
     # kaiming-uniform-flavored init; fan_in = K * Cin
     import jax
@@ -117,7 +128,9 @@ class ResBranch(nn.Module):
         x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
         x = SparseBasicBlock(c0, name="res1a", bn_axis_name=self.bn_axis_name)(x, rb0, train)
         x = SparseBasicBlock(c0, name="res1b", bn_axis_name=self.bn_axis_name)(x, rb0, train)
-        out = {"x_conv1": (x, keys, g0)}
+        # arrays only: GridSpecs are attached statically by the backbone wrapper
+        # (a remat boundary would otherwise turn their ints into tracers)
+        out = {"x_conv1": (x, keys)}
 
         rb_d2, g1 = sparse.build_conv_rulebook_batched(
             keys, g0, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.caps[0]
@@ -127,7 +140,7 @@ class ResBranch(nn.Module):
         rb1 = sparse.build_subm_rulebook_batched(k1, g1)
         x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name)(x, rb1, train)
         x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
-        out["x_conv2"] = (x, k1, g1)
+        out["x_conv2"] = (x, k1)
 
         rb_d3, g2 = sparse.build_conv_rulebook_batched(
             k1, g1, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.caps[1]
@@ -137,7 +150,7 @@ class ResBranch(nn.Module):
         rb2 = sparse.build_subm_rulebook_batched(k2, g2)
         x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name)(x, rb2, train)
         x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
-        out["x_conv3"] = (x, k2, g2)
+        out["x_conv3"] = (x, k2)
 
         rb_d4, g3 = sparse.build_conv_rulebook_batched(
             k2, g2, (3, 3, 3), (2, 2, 2), (1, 1, 0), self.caps[2]
@@ -147,13 +160,13 @@ class ResBranch(nn.Module):
         rb3 = sparse.build_subm_rulebook_batched(k3, g3)
         x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name)(x, rb3, train)
         x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
-        out["x_conv4"] = (x, k3, g3)
+        out["x_conv4"] = (x, k3)
 
         rb_out, g_out = sparse.build_conv_rulebook_batched(
             k3, g3, (1, 1, 3), (1, 1, 2), (0, 0, 0), self.caps[3]
         )
         x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(x, rb_out, train)
-        out["encoded"] = (x, rb_out.out_keys, g_out)
+        out["encoded"] = (x, rb_out.out_keys)
         return out
 
 
@@ -171,19 +184,28 @@ class VoxelResBackBone8x(nn.Module):
     mm: bool = False
     bn_axis_name: Optional[str] = None
 
+    remat: bool = True  # rematerialize branch activations (trades recompute
+    # for the backward-pass HBM that otherwise OOMs batch-4 training)
+
     @nn.compact
     def __call__(self, features, keys, train: bool, features_mm=None, keys_mm=None):
-        branch = ResBranch(
+        branch_cls = nn.remat(ResBranch, static_argnums=(3,)) if (self.remat and train) else ResBranch
+        branch = branch_cls(
             self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch0"
         )
-        out = branch(features, keys, train)
+        raw = branch(features, keys, train)
         if self.mm and features_mm is not None:
-            branch1 = ResBranch(
+            branch1 = branch_cls(
                 self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch1"
             )
             out_mm = branch1(features_mm, keys_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
-                out[k + "_mm"] = out_mm[k]
+                raw[k + "_mm"] = out_mm[k]
+        # reattach the static grids OUTSIDE the (possibly remat-ed) branches
+        grids = stage_grids(self.grid)
+        out = {}
+        for k, (f, ky) in raw.items():
+            out[k] = (f, ky, grids[k.replace("_mm", "")])
         return out
 
 
@@ -204,7 +226,7 @@ class PlainBranch(nn.Module):
         rb0 = sparse.build_subm_rulebook_batched(keys, g0)
         x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
         x = SubMConvBN(c0, name="conv1")(x, rb0, train)
-        out = {"x_conv1": (x, keys, g0)}
+        out = {"x_conv1": (x, keys, g0)}  # PlainBranch is not remat-wrapped
         cur_keys, cur_grid = keys, g0
         for i, (c, cap, pz) in enumerate(zip((c1, c2, c3), self.caps[:3], (1, 1, 0))):
             rb_d, g = sparse.build_conv_rulebook_batched(

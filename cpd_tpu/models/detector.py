@@ -24,7 +24,7 @@ from ..ops import nms as nms_ops
 from ..ops import sparse
 from ..ops.sparse import GridSpec
 from ..ops.voxelizer import VoxelizerSpec, voxelize_batch
-from .backbone3d import VoxelResBackBone8x
+from .backbone3d import VoxelResBackBone8x, stage_grids
 from .bev import BaseBEVBackbone, height_compression
 from .center_head import CenterHead
 from .roi_head import VoxelRCNNProtoHead
@@ -48,6 +48,7 @@ class VoxelRCNN(nn.Module):
     backbone_filters: Tuple[int, ...] = (16, 32, 64, 128)
     backbone_caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = True
+    remat: bool = True  # rematerialize backbone/pooling activations in training
     with_roi_head: bool = True
     num_rois: int = 500          # proposals kept in training (reference TRAIN NMS_POST)
     num_rois_test: int = 200     # proposals refined at eval (reference TEST NMS_POST, yaml ROI_HEAD.NMS_CONFIG.TEST)
@@ -70,6 +71,7 @@ class VoxelRCNN(nn.Module):
             num_filters=self.backbone_filters,
             caps=self.backbone_caps,
             mm=self.mm,
+            remat=self.remat,
             bn_axis_name=self.bn_axis_name,
         )
         self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
@@ -87,6 +89,8 @@ class VoxelRCNN(nn.Module):
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
                 mm=self.mm,
+                remat=self.remat,
+                scale_grids=stage_grids(self.grid),
             )
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):

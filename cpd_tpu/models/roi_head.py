@@ -195,10 +195,12 @@ class GridPoolBranch(nn.Module):
         ("x_conv3", 4, ((2, 2, 2), 0.4), ((4, 4, 4), 0.8)),
         ("x_conv4", 8, ((2, 2, 2), 0.8), ((4, 4, 4), 1.6)),
     )
+    scale_grids: Any = None  # {name: GridSpec}, static (required under remat)
 
     @nn.compact
-    def __call__(self, rois, backbone_out, suffix: str = ""):
-        """rois: (B, R, 7). Returns (B, R, grid^3 * C_total)."""
+    def __call__(self, rois, scale_features, suffix: str = ""):
+        """rois: (B, R, 7); scale_features: {name: (feats, keys)} arrays only.
+        Returns (B, R, grid^3 * C_total)."""
         b, r = rois.shape[:2]
         g3 = self.grid_size ** 3
         grid_pts = jax.vmap(lambda rb: pool.roi_grid_points(rb, self.grid_size))(rois)
@@ -206,7 +208,8 @@ class GridPoolBranch(nn.Module):
 
         per_scale = []
         for name, ds, *groups in self.scale_specs:
-            feats, keys, grid = backbone_out[name + suffix]
+            feats, keys = scale_features[name + suffix]
+            grid = self.scale_grids[name]
             pre = nn.Dense(self.mlp_channels, name=f"pre_{name}")(feats)
             pre = nn.relu(pre)
             radii = tuple(float(r) for _, r in groups)
@@ -257,6 +260,8 @@ class VoxelRCNNProtoHead(nn.Module):
     voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.15)
     point_cloud_range: Tuple[float, ...] = (-75.2, -75.2, -2.0, 75.2, 75.2, 4.0)
     mm: bool = True
+    remat: bool = True
+    scale_grids: Any = None  # static {x_conv3: GridSpec, x_conv4: GridSpec}
     shared_fc: Tuple[int, ...] = (256, 256)
     dp_ratio: float = 0.3
     proto_ramp_steps: int = 5000
@@ -264,16 +269,21 @@ class VoxelRCNNProtoHead(nn.Module):
 
     def setup(self):
         self.coder = ResidualCoder(code_size=7)
-        self.pool_branch = GridPoolBranch(
-            self.voxel_size, self.point_cloud_range, self.grid_size
+        # remat: the grid-pool gathers are cheap to recompute and huge to store
+        pool_cls = (nn.remat(GridPoolBranch, static_argnums=(3,))
+                    if self.remat else GridPoolBranch)
+        self.pool_branch = pool_cls(
+            self.voxel_size, self.point_cloud_range, self.grid_size,
+            scale_grids=self.scale_grids,
         )
         self.shared0 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
                                       nn.Dense(self.shared_fc[1]), nn.relu])
         self.cls_tower0 = FCTower(out_dim=1, dropout=self.dp_ratio)
         self.reg_tower0 = FCTower(out_dim=7, dropout=self.dp_ratio)
         if self.mm:
-            self.pool_branch_mm = GridPoolBranch(
-                self.voxel_size, self.point_cloud_range, self.grid_size
+            self.pool_branch_mm = pool_cls(
+                self.voxel_size, self.point_cloud_range, self.grid_size,
+                scale_grids=self.scale_grids,
             )
             self.shared1 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
                                           nn.Dense(self.shared_fc[1]), nn.relu])
@@ -303,7 +313,11 @@ class VoxelRCNNProtoHead(nn.Module):
             roi_labels = proposals["roi_labels"]
             roi_valid = proposals["roi_valid"]
 
-        pooled0 = self.pool_branch(rois, backbone_out, "")
+        scale_features = {
+            k: (v[0], v[1]) for k, v in backbone_out.items()
+            if k.startswith(("x_conv3", "x_conv4"))
+        }
+        pooled0 = self.pool_branch(rois, scale_features, "")
         shared0 = self.shared0(pooled0)
         rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
         rcnn_reg = self.reg_tower0(shared0, train)
@@ -318,7 +332,7 @@ class VoxelRCNNProtoHead(nn.Module):
         if train:
             out["roi_targets"] = targets
         if train and self.mm and ("x_conv3_mm" in backbone_out):
-            pooled1 = self.pool_branch_mm(rois, backbone_out, "_mm")
+            pooled1 = self.pool_branch_mm(rois, scale_features, "_mm")
             shared1 = self.shared1(pooled1)
             out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]
             out["rcnn_reg_proto"] = self.reg_tower1(shared1, train)

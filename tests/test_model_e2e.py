@@ -15,6 +15,7 @@ TINY = dict(
     backbone_caps=(1024, 512, 256, 256),
     num_rois=64,
     roi_per_image=16,
+    remat=False,  # tiny shapes: skip remat (halves CPU test time)
 )
 
 
