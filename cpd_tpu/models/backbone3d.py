@@ -25,6 +25,30 @@ from ..ops.sparse import GridSpec, Rulebook
 from .norm import MaskedBatchNorm
 
 
+def build_branch_rulebooks(keys, grid: GridSpec, caps):
+    """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
+    boundary (they carry no gradients; recomputing their LUT scatters / joins
+    in the backward replay would dominate the training step)."""
+    g = stage_grids(grid)
+    rbs = {}
+    rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"])
+    rbs["down2"], _ = sparse.build_conv_rulebook_batched(
+        keys, g["x_conv1"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[0])
+    k1 = rbs["down2"].out_keys
+    rbs["subm2"] = sparse.build_subm_rulebook_batched(k1, g["x_conv2"])
+    rbs["down3"], _ = sparse.build_conv_rulebook_batched(
+        k1, g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1])
+    k2 = rbs["down3"].out_keys
+    rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"])
+    rbs["down4"], _ = sparse.build_conv_rulebook_batched(
+        k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2])
+    k3 = rbs["down4"].out_keys
+    rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"])
+    rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
+        k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3])
+    return rbs
+
+
 def stage_grids(grid: GridSpec):
     """Static GridSpec per backbone output key (the 8x conv ladder)."""
     g0 = grid
@@ -121,52 +145,40 @@ class ResBranch(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, features, keys, train: bool):
+    def __call__(self, features, rulebooks, train: bool):
         c0, c1, c2, c3 = self.num_filters
-        g0 = self.grid
-        rb0 = sparse.build_subm_rulebook_batched(keys, g0)
+        rb0 = rulebooks["subm1"]
         x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
         x = SparseBasicBlock(c0, name="res1a", bn_axis_name=self.bn_axis_name)(x, rb0, train)
         x = SparseBasicBlock(c0, name="res1b", bn_axis_name=self.bn_axis_name)(x, rb0, train)
         # arrays only: GridSpecs are attached statically by the backbone wrapper
         # (a remat boundary would otherwise turn their ints into tracers)
-        out = {"x_conv1": (x, keys)}
+        out = {"x_conv1": (x, rb0.out_keys)}
 
-        rb_d2, g1 = sparse.build_conv_rulebook_batched(
-            keys, g0, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.caps[0]
-        )
-        x = StridedConvBN(c1, 27, name="down2", bn_axis_name=self.bn_axis_name)(x, rb_d2, train)
-        k1 = rb_d2.out_keys
-        rb1 = sparse.build_subm_rulebook_batched(k1, g1)
+        x = StridedConvBN(c1, 27, name="down2", bn_axis_name=self.bn_axis_name)(
+            x, rulebooks["down2"], train)
+        rb1 = rulebooks["subm2"]
         x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name)(x, rb1, train)
         x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
-        out["x_conv2"] = (x, k1)
+        out["x_conv2"] = (x, rb1.out_keys)
 
-        rb_d3, g2 = sparse.build_conv_rulebook_batched(
-            k1, g1, (3, 3, 3), (2, 2, 2), (1, 1, 1), self.caps[1]
-        )
-        x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name)(x, rb_d3, train)
-        k2 = rb_d3.out_keys
-        rb2 = sparse.build_subm_rulebook_batched(k2, g2)
+        x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name)(
+            x, rulebooks["down3"], train)
+        rb2 = rulebooks["subm3"]
         x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name)(x, rb2, train)
         x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
-        out["x_conv3"] = (x, k2)
+        out["x_conv3"] = (x, rb2.out_keys)
 
-        rb_d4, g3 = sparse.build_conv_rulebook_batched(
-            k2, g2, (3, 3, 3), (2, 2, 2), (1, 1, 0), self.caps[2]
-        )
-        x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name)(x, rb_d4, train)
-        k3 = rb_d4.out_keys
-        rb3 = sparse.build_subm_rulebook_batched(k3, g3)
+        x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name)(
+            x, rulebooks["down4"], train)
+        rb3 = rulebooks["subm4"]
         x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name)(x, rb3, train)
         x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
-        out["x_conv4"] = (x, k3)
+        out["x_conv4"] = (x, rb3.out_keys)
 
-        rb_out, g_out = sparse.build_conv_rulebook_batched(
-            k3, g3, (1, 1, 3), (1, 1, 2), (0, 0, 0), self.caps[3]
-        )
-        x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(x, rb_out, train)
-        out["encoded"] = (x, rb_out.out_keys)
+        x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(
+            x, rulebooks["conv_out"], train)
+        out["encoded"] = (x, rulebooks["conv_out"].out_keys)
         return out
 
 
@@ -193,12 +205,16 @@ class VoxelResBackBone8x(nn.Module):
         branch = branch_cls(
             self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch0"
         )
-        raw = branch(features, keys, train)
+        # rulebooks carry no gradients: build them OUTSIDE the remat boundary
+        # so the backward replay recomputes only the conv GEMMs
+        rbs = build_branch_rulebooks(keys, self.grid, self.caps)
+        raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
                 self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch1"
             )
-            out_mm = branch1(features_mm, keys_mm, train)
+            rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps)
+            out_mm = branch1(features_mm, rbs_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
                 raw[k + "_mm"] = out_mm[k]
         # reattach the static grids OUTSIDE the (possibly remat-ed) branches

@@ -179,11 +179,46 @@ def decode_roi_boxes(rois, rcnn_reg, coder: ResidualCoder):
 # grid pooling + towers
 # ----------------------------------------------------------------------------
 
+def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
+                         voxel_size, point_cloud_range, grid_size, nsample,
+                         suffix: str = ""):
+    """The gradient-free half of roi_grid_pool: grid points + voxel queries.
+
+    Computed OUTSIDE the remat boundary (rois are stop-gradient constants and
+    the joins are expensive to replay). Returns {(name, gi): (idx, valid, rel)}
+    plus the flat queries (B, R*g^3, 3).
+    """
+    b, r = rois.shape[:2]
+    g3 = grid_size ** 3
+    grid_pts = jax.vmap(lambda rb: pool.roi_grid_points(rb, grid_size))(rois)
+    queries = grid_pts.reshape(b, r * g3, 3)
+    out = {}
+    for name, ds, *groups in scale_specs:
+        _, keys = scale_features[name + suffix]
+        grid = scale_grids[name]
+        radii = tuple(float(rr) for _, rr in groups)
+        qrange = tuple(max(g[0][d] for g in groups) for d in range(3))
+
+        def q_multi(qxyz, k):
+            return pool.voxel_query_multi(
+                qxyz, k, grid, tuple(voxel_size), point_cloud_range,
+                ds, qrange, radii, nsample,
+            )
+
+        group_results = jax.vmap(q_multi)(queries, keys)
+        for gi, (idx, valid, centers) in enumerate(group_results):
+            rel = centers - queries[:, :, None, :]
+            out[f"{name}_{gi}"] = (idx, valid, rel)
+    return out
+
+
 class GridPoolBranch(nn.Module):
     """Pool multi-scale sparse features at roi grid points (roi_grid_pool).
 
     Two scales (x_conv3 ds=4, x_conv4 ds=8), two query groups per scale
     (config QUERY_RANGES/POOL_RADIUS), pre-MLP then grouped MLP + max-pool.
+    The voxel queries come precomputed (compute_pool_queries); this module is
+    the parameterized gather+MLP+pool half (the remat-able part).
     """
 
     voxel_size: Tuple[float, float, float]
@@ -198,32 +233,18 @@ class GridPoolBranch(nn.Module):
     scale_grids: Any = None  # {name: GridSpec}, static (required under remat)
 
     @nn.compact
-    def __call__(self, rois, scale_features, suffix: str = ""):
-        """rois: (B, R, 7); scale_features: {name: (feats, keys)} arrays only.
-        Returns (B, R, grid^3 * C_total)."""
+    def __call__(self, rois, scale_features, query_results, suffix: str = ""):
+        """rois: (B, R, 7); scale_features: {name: (feats, keys)};
+        query_results from compute_pool_queries. Returns (B, R, grid^3 * C)."""
         b, r = rois.shape[:2]
         g3 = self.grid_size ** 3
-        grid_pts = jax.vmap(lambda rb: pool.roi_grid_points(rb, self.grid_size))(rois)
-        queries = grid_pts.reshape(b, r * g3, 3)
-
         per_scale = []
         for name, ds, *groups in self.scale_specs:
-            feats, keys = scale_features[name + suffix]
-            grid = self.scale_grids[name]
+            feats, _ = scale_features[name + suffix]
             pre = nn.Dense(self.mlp_channels, name=f"pre_{name}")(feats)
             pre = nn.relu(pre)
-            radii = tuple(float(r) for _, r in groups)
-            qrange = tuple(max(g[0][d] for g in groups) for d in range(3))
-
-            def q_multi(qxyz, k):
-                return pool.voxel_query_multi(
-                    qxyz, k, grid, tuple(self.voxel_size), self.point_cloud_range,
-                    ds, qrange, radii, self.nsample,
-                )
-
-            group_results = jax.vmap(q_multi)(queries, keys)
-            for gi, (idx, valid, centers) in enumerate(group_results):
-                rel = centers - queries[:, :, None, :]
+            for gi in range(len(groups)):
+                idx, valid, rel = query_results[f"{name}_{gi}"]
                 mlp = nn.Sequential([
                     nn.Dense(self.mlp_channels), nn.relu,
                     nn.Dense(self.mlp_channels), nn.relu,
@@ -270,7 +291,7 @@ class VoxelRCNNProtoHead(nn.Module):
     def setup(self):
         self.coder = ResidualCoder(code_size=7)
         # remat: the grid-pool gathers are cheap to recompute and huge to store
-        pool_cls = (nn.remat(GridPoolBranch, static_argnums=(3,))
+        pool_cls = (nn.remat(GridPoolBranch, static_argnums=(4,))
                     if self.remat else GridPoolBranch)
         self.pool_branch = pool_cls(
             self.voxel_size, self.point_cloud_range, self.grid_size,
@@ -317,7 +338,11 @@ class VoxelRCNNProtoHead(nn.Module):
             k: (v[0], v[1]) for k, v in backbone_out.items()
             if k.startswith(("x_conv3", "x_conv4"))
         }
-        pooled0 = self.pool_branch(rois, scale_features, "")
+        q0 = compute_pool_queries(rois, scale_features, self.scale_grids,
+                                  self.pool_branch.scale_specs, self.voxel_size,
+                                  self.point_cloud_range, self.grid_size,
+                                  self.pool_branch.nsample, "")
+        pooled0 = self.pool_branch(rois, scale_features, q0, "")
         shared0 = self.shared0(pooled0)
         rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
         rcnn_reg = self.reg_tower0(shared0, train)
@@ -332,7 +357,11 @@ class VoxelRCNNProtoHead(nn.Module):
         if train:
             out["roi_targets"] = targets
         if train and self.mm and ("x_conv3_mm" in backbone_out):
-            pooled1 = self.pool_branch_mm(rois, scale_features, "_mm")
+            q1 = compute_pool_queries(rois, scale_features, self.scale_grids,
+                                      self.pool_branch_mm.scale_specs, self.voxel_size,
+                                      self.point_cloud_range, self.grid_size,
+                                      self.pool_branch_mm.nsample, "_mm")
+            pooled1 = self.pool_branch_mm(rois, scale_features, q1, "_mm")
             shared1 = self.shared1(pooled1)
             out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]
             out["rcnn_reg_proto"] = self.reg_tower1(shared1, train)
