@@ -25,10 +25,15 @@ from ..ops.sparse import GridSpec, Rulebook
 from .norm import MaskedBatchNorm
 
 
-def build_branch_rulebooks(keys, grid: GridSpec, caps):
+def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False):
     """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
     boundary (they carry no gradients; recomputing their LUT scatters / joins
-    in the backward replay would dominate the training step)."""
+    in the backward replay would dominate the training step).
+
+    ``with_transpose`` additionally builds the INVERSE rulebooks of the four
+    strided convs (``*_T`` keys) so their backward runs as a gather-GEMM via
+    the custom VJP (no scatter-adds) -- train-time only; submanifold convs
+    get their transpose for free by mirroring tap columns."""
     g = stage_grids(grid)
     rbs = {}
     rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"])
@@ -46,6 +51,16 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps):
     rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"])
     rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
         k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3])
+    if with_transpose:
+        rbs["down2_T"] = sparse.build_inverse_rulebook_batched(
+            keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        rbs["down3_T"] = sparse.build_inverse_rulebook_batched(
+            k1, k2, g["x_conv2"], g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        rbs["down4_T"] = sparse.build_inverse_rulebook_batched(
+            k2, k3, g["x_conv3"], g["x_conv4"], (3, 3, 3), (2, 2, 2), (1, 1, 0))
+        rbs["conv_out_T"] = sparse.build_inverse_rulebook_batched(
+            k3, rbs["conv_out"].out_keys, g["x_conv4"], g["encoded"],
+            (1, 1, 3), (1, 1, 2), (0, 0, 0))
     return rbs
 
 
@@ -84,7 +99,8 @@ class SubMConvBN(nn.Module):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
-                                               compute_dtype=self.compute_dtype)
+                                               compute_dtype=self.compute_dtype,
+                                               transpose="mirror")
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         if self.relu:
             out = nn.relu(out)
@@ -100,11 +116,12 @@ class StridedConvBN(nn.Module):
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, features, rulebook: Rulebook, train: bool):
+    def __call__(self, features, rulebook: Rulebook, train: bool, transpose=None):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
-                                               compute_dtype=self.compute_dtype)
+                                               compute_dtype=self.compute_dtype,
+                                               transpose=transpose)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         return nn.relu(out)
 
@@ -156,28 +173,28 @@ class ResBranch(nn.Module):
         out = {"x_conv1": (x, rb0.out_keys)}
 
         x = StridedConvBN(c1, 27, name="down2", bn_axis_name=self.bn_axis_name)(
-            x, rulebooks["down2"], train)
+            x, rulebooks["down2"], train, rulebooks.get("down2_T"))
         rb1 = rulebooks["subm2"]
         x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name)(x, rb1, train)
         x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
         out["x_conv2"] = (x, rb1.out_keys)
 
         x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name)(
-            x, rulebooks["down3"], train)
+            x, rulebooks["down3"], train, rulebooks.get("down3_T"))
         rb2 = rulebooks["subm3"]
         x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name)(x, rb2, train)
         x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
         out["x_conv3"] = (x, rb2.out_keys)
 
         x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name)(
-            x, rulebooks["down4"], train)
+            x, rulebooks["down4"], train, rulebooks.get("down4_T"))
         rb3 = rulebooks["subm4"]
         x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name)(x, rb3, train)
         x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
         out["x_conv4"] = (x, rb3.out_keys)
 
         x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(
-            x, rulebooks["conv_out"], train)
+            x, rulebooks["conv_out"], train, rulebooks.get("conv_out_T"))
         out["encoded"] = (x, rulebooks["conv_out"].out_keys)
         return out
 
@@ -207,13 +224,14 @@ class VoxelResBackBone8x(nn.Module):
         )
         # rulebooks carry no gradients: build them OUTSIDE the remat boundary
         # so the backward replay recomputes only the conv GEMMs
-        rbs = build_branch_rulebooks(keys, self.grid, self.caps)
+        rbs = build_branch_rulebooks(keys, self.grid, self.caps, with_transpose=train)
         raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
                 self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch1"
             )
-            rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps)
+            rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
+                                            with_transpose=train)
             out_mm = branch1(features_mm, rbs_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
                 raw[k + "_mm"] = out_mm[k]

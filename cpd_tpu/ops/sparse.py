@@ -33,7 +33,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-INVALID_KEY = jnp.iinfo(jnp.int32).max
+INVALID_KEY = jnp.iinfo(jnp.int32).max  # padding sentinel for key arrays
 
 
 class GridSpec(NamedTuple):
@@ -138,12 +138,16 @@ DENSE_LUT_MAX_CELLS = 100_000_000
 
 
 def build_dense_lut(keys, grid: GridSpec):
-    """(V,) sorted keys -> (num_cells,) int32 LUT: LUT[key] = row, -1 empty."""
+    """(V,) sorted keys -> (num_cells,) int32 LUT: LUT[key] = row, -1 empty.
+
+    Invalid rows are routed to the out-of-bounds index ``num_cells`` so the
+    drop-mode scatter discards them (writing them to cell 0 would clobber a
+    real voxel at linearized key 0 -- the grid corner)."""
     valid = keys != INVALID_KEY
-    safe = jnp.where(valid, keys, 0)
+    target = jnp.where(valid, keys, grid.num_cells)
     lut = jnp.full((grid.num_cells,), -1, jnp.int32)
     rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
-    return lut.at[safe].set(jnp.where(valid, rows, -1), mode="drop")
+    return lut.at[target].set(rows, mode="drop")
 
 
 def lookup_dense(lut, queries, query_ok):
@@ -353,6 +357,152 @@ def _build_conv_rulebook_jit(
     )
 
 
+def build_inverse_rulebook(
+    in_keys,
+    out_keys,
+    grid: GridSpec,
+    out_grid: GridSpec,
+    kernel: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    padding: Tuple[int, int, int],
+) -> Rulebook:
+    """Transpose of a strided-conv rulebook, per-tap aligned.
+
+    For input voxel u and kernel tap k, ``idx[u, k]`` is the OUTPUT row v such
+    that the forward rulebook had ``fwd.idx[v, k] == u`` (i.e. output site
+    o = (u + p - tap_k) / s when divisible), and ``found[u, k]`` marks
+    existence. This lets the conv backward compute dX as a gather-GEMM
+    (dX[u] = sum_k found[u,k] * dY[idx[u,k]] @ W[k]^T) instead of the
+    scatter-add XLA autodiff would emit -- the transpose of
+    spconv's SparseInverseConv3d indexing, built TPU-style with LUT/rank-join
+    lookups (no hash tables).
+    """
+    kx, ky, kz = kernel
+    sx, sy, sz = stride
+    px, py, pz = padding
+    coords = coords_from_keys(in_keys, grid)  # (V, 3) zyx
+    valid = in_keys != INVALID_KEY
+    offs = jnp.asarray(_kernel_offsets(kernel), jnp.int32)  # (K, 3) zyx taps
+    num = coords[None, :, :] + jnp.asarray([[pz, py, px]], jnp.int32)[None] - offs[:, None, :]
+    s = jnp.asarray([sz, sy, sx], jnp.int32)
+    divisible = jnp.all(num % s == 0, axis=-1)
+    oc = num // s  # (K, V, 3) candidate output coords
+    in_bounds = (
+        (oc[..., 2] >= 0) & (oc[..., 2] < out_grid.nx)
+        & (oc[..., 1] >= 0) & (oc[..., 1] < out_grid.ny)
+        & (oc[..., 0] >= 0) & (oc[..., 0] < out_grid.nz)
+    )
+    ok = divisible & in_bounds & valid[None, :]
+    qkeys = ((oc[..., 0] * out_grid.ny + oc[..., 1]) * out_grid.nx + oc[..., 2]).astype(jnp.int32)
+    if out_grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        lut = build_dense_lut(out_keys, out_grid)
+        idx_all, found_all = lookup_dense(lut, qkeys, ok)
+    else:
+        # output key is monotone nondecreasing in the input key per tap, so
+        # each row is sorted and the batched rank-join applies
+        qk = jnp.where(ok, qkeys, SENTINEL)
+        safe_out = jnp.where(out_keys != INVALID_KEY, out_keys, SENTINEL)
+        idx_all, found_all = lookup_sorted_rows(safe_out, qk)
+        found_all = found_all & ok
+    return Rulebook(
+        idx=jnp.transpose(idx_all),
+        found=jnp.transpose(found_all),
+        out_keys=in_keys,
+        out_valid=valid,
+    )
+
+
+def build_inverse_rulebook_batched(in_keys, out_keys, grid: GridSpec, out_grid: GridSpec,
+                                   kernel, stride, padding) -> Rulebook:
+    """vmap of build_inverse_rulebook over a leading batch axis."""
+    fn = partial(_build_inverse_rulebook_jit, grid=grid, out_grid=out_grid,
+                 kernel=kernel, stride=stride, padding=padding)
+    return jax.vmap(fn)(in_keys, out_keys)
+
+
+@partial(jax.jit, static_argnames=("grid", "out_grid", "kernel", "stride", "padding"))
+def _build_inverse_rulebook_jit(in_keys, out_keys, grid, out_grid, kernel, stride, padding):
+    return build_inverse_rulebook(in_keys, out_keys, grid, out_grid, kernel, stride, padding)
+
+
+def _gather_gemm(features, idx, found, w_flat, compute_dtype):
+    """Masked im2col gather + one GEMM. features (B, V_in, C); idx/found
+    (B, V_out, K); w_flat (K*C, Cout) -> (B, V_out, Cout) f32."""
+    b, v_out, k = idx.shape
+    c = features.shape[-1]
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        w_flat = w_flat.astype(compute_dtype)
+    gathered = jnp.take_along_axis(features, idx.reshape(b, v_out * k)[..., None], axis=1)
+    gathered = gathered.reshape(b, v_out, k, c)
+    gathered = jnp.where(found[..., None], gathered, 0)
+    return jax.lax.dot_general(
+        gathered.reshape(b * v_out, k * c),
+        w_flat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, v_out, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sparse_conv_core(compute_dtype, mirror, features, weights,
+                      idx, found, out_valid, t_idx, t_found):
+    """Sparse conv with a gather-only backward (custom VJP).
+
+    XLA's autodiff of the im2col gather emits a (B, V*K)-row scatter-add for
+    dX -- the dominant cost of the reference-parity training step on TPU.
+    Here dX is instead computed with the TRANSPOSE rulebook (t_idx/t_found;
+    for submanifold convs ``mirror=True`` reuses the forward rulebook with
+    tap columns reversed), and dW re-gathers the im2col and contracts it
+    against dY: all gathers + MXU GEMMs, zero scatters.
+    """
+    k = idx.shape[-1]
+    cin = features.shape[-1]
+    return _gather_gemm(features, idx, found, weights.reshape(k * cin, -1),
+                        compute_dtype)
+
+
+def _sparse_conv_core_fwd(compute_dtype, mirror, features, weights,
+                          idx, found, out_valid, t_idx, t_found):
+    out = _sparse_conv_core(compute_dtype, mirror, features, weights,
+                            idx, found, out_valid, t_idx, t_found)
+    return out, (features, weights, idx, found, out_valid, t_idx, t_found)
+
+
+def _sparse_conv_core_bwd(compute_dtype, mirror, res, g):
+    features, weights, idx, found, out_valid, t_idx, t_found = res
+    k, cin, cout = weights.shape
+    b, v_out, _ = idx.shape
+    g = jnp.where(out_valid[..., None], g, 0.0)
+    if mirror:
+        # submanifold: transpose rulebook = same table, taps reversed
+        t_idx = idx[..., ::-1]
+        t_found = found[..., ::-1]
+    # dX[u] = sum_k t_found[u,k] * g[t_idx[u,k]] @ W[k]^T  (gather-GEMM)
+    w_t = jnp.transpose(weights, (0, 2, 1)).reshape(k * cout, cin)
+    dx = _gather_gemm(g, t_idx, t_found, w_t, compute_dtype)
+    dx = dx.astype(features.dtype)
+    # dW[k] = sum_{b,v} found[v,k] * X[idx[v,k]] (outer) g[v]  (re-gather + GEMM)
+    feats = features
+    gg = g
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        gg = gg.astype(compute_dtype)
+    xg = jnp.take_along_axis(feats, idx.reshape(b, v_out * k)[..., None], axis=1)
+    xg = xg.reshape(b, v_out, k, cin)
+    xg = jnp.where(found[..., None], xg, 0)
+    dw = jax.lax.dot_general(
+        xg, gg,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # contract (b, v) -> (K, Cin, Cout)
+    dw = dw.astype(weights.dtype)
+    return dx, dw, None, None, None, None, None
+
+
+_sparse_conv_core.defvjp(_sparse_conv_core_fwd, _sparse_conv_core_bwd)
+
+
 def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
                       compute_dtype=None):
     """Apply a (subm or strided) sparse conv given its rulebook.
@@ -382,14 +532,35 @@ def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
 
 
 def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
-                              compute_dtype=None):
+                              compute_dtype=None, transpose=None):
     """Batched sparse conv: features (B, V_in, Cin), rulebook fields with a
     leading batch axis -> (B, V_out, Cout). One big (B*V_out, K*Cin) GEMM.
 
     ``compute_dtype=jnp.bfloat16`` halves the im2col gather traffic (the HBM
     bottleneck of the layer) and runs the GEMM at full MXU rate; accumulation
     stays f32 via preferred_element_type.
+
+    ``transpose`` selects the gather-only custom-VJP backward (no scatters):
+      * ``'mirror'`` -- submanifold convs: the transpose rulebook is the
+        forward one with tap columns reversed.
+      * a ``Rulebook`` from :func:`build_inverse_rulebook_batched` -- strided
+        convs.
+      * ``None`` -- plain XLA autodiff (scatter-add backward; oracle path).
     """
+    if transpose is not None:
+        mirror = isinstance(transpose, str)
+        if mirror:
+            assert transpose == "mirror"
+            t_idx, t_found = rulebook.idx, rulebook.found
+        else:
+            t_idx, t_found = transpose.idx, transpose.found
+        out = _sparse_conv_core(
+            compute_dtype, mirror, features, weights,
+            rulebook.idx, rulebook.found, rulebook.out_valid, t_idx, t_found,
+        )
+        if bias is not None:
+            out = out + bias
+        return jnp.where(rulebook.out_valid[..., None], out, 0.0)
     b, v_out, k = rulebook.idx.shape
     cin = features.shape[-1]
     cout = weights.shape[-1]

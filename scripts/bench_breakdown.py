@@ -1,0 +1,118 @@
+"""Per-stage inference timing: voxelize / rulebooks / backbone / BEV+RPN /
+proposal NMS / RoI head, each as its own jit with forced readback.
+
+Stage boundaries mean some work is duplicated between jits (e.g. the full
+predict includes everything); the per-stage deltas are what matter.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_breakdown.py
+"""
+import argparse
+import time
+
+import numpy as np
+
+
+def timeit(fn, sync, iters=5):
+    out = fn()
+    sync(out)
+    out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cpd_tpu.models.detector import VoxelRCNN, keys_from_frame
+    from cpd_tpu.models.backbone3d import build_branch_rulebooks
+    from cpd_tpu.ops.voxelizer import voxelize_batch
+
+    model = VoxelRCNN(
+        num_classes=3,
+        point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
+        voxel_size=(0.1, 0.1, 0.15),
+        max_voxels=150_000,
+        backbone_caps=(80_000, 40_000, 20_000, 20_000),
+        mm=False,
+        num_rois=500,
+        num_rois_test=200,
+        roi_per_image=130,
+    )
+    b, p = 1, 200_000
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [
+            rng.uniform(-74, 74, (b, p, 2)),
+            rng.uniform(-2, 4, (b, p, 1)),
+            rng.uniform(0, 1, (b, p, 2)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    batch = {"points": jnp.asarray(pts), "points_valid": jnp.ones((b, p), bool)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, batch, False)
+
+    def sync(o):
+        np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
+    bound = model.bind(variables)
+    vox_spec, grid, caps = bound.vox_spec, bound.grid, model.backbone_caps
+
+    vox = jax.jit(lambda pts, pv: voxelize_batch(pts, vox_spec, pv))
+    frame = vox(batch["points"], batch["points_valid"])
+    t_vox = timeit(lambda: vox(batch["points"], batch["points_valid"]), sync, args.iters)
+    print(f"voxelize:            {t_vox*1e3:8.1f} ms")
+
+    keys_fn = jax.jit(lambda f: keys_from_frame(f, grid))
+    keys = keys_fn(frame)
+    rb_fn = jax.jit(lambda k: build_branch_rulebooks(k, grid, caps))
+    rbs = rb_fn(keys)
+    t_rb = timeit(lambda: rb_fn(keys), sync, args.iters)
+    print(f"rulebooks (all 8):   {t_rb*1e3:8.1f} ms")
+
+    # backbone forward (rulebooks inside, matches predict's true content)
+    def bb(feats, keys):
+        return model.apply(variables, feats, keys, False,
+                           method=lambda m, f, k, t: m.backbone(f, k, t))
+    bb_j = jax.jit(bb)
+    bb_out = bb_j(frame.features, keys)
+    t_bb = timeit(lambda: bb_j(frame.features, keys), sync, args.iters)
+    print(f"backbone (+rbs):     {t_bb*1e3:8.1f} ms   (minus rulebooks: {(t_bb-t_rb)*1e3:.1f})")
+
+    # full forward without RoI head
+    model_norh = model.clone(with_roi_head=False)
+    vars_norh = {"params": {k: v for k, v in variables["params"].items() if k != "roi_head"},
+                 "batch_stats": variables.get("batch_stats", {})}
+    fwd_norh = jax.jit(lambda v, x: model_norh.apply(v, x, False))
+    o = fwd_norh(vars_norh, batch)
+    t_norh = timeit(lambda: fwd_norh(vars_norh, batch), sync, args.iters)
+    print(f"fwd to proposals:    {t_norh*1e3:8.1f} ms   (minus backbone: {(t_norh-t_bb)*1e3:.1f})")
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, False))
+    o = fwd(variables, batch)
+    t_fwd = timeit(lambda: fwd(variables, batch), sync, args.iters)
+    print(f"full fwd (+roihead): {t_fwd*1e3:8.1f} ms   (roi head: {(t_fwd-t_norh)*1e3:.1f})")
+
+    pred = jax.jit(lambda v, x: model.apply(v, x, method=VoxelRCNN.predict))
+    o = pred(variables, batch)
+    t_pred = timeit(lambda: pred(variables, batch), sync, args.iters)
+    print(f"predict (+postNMS):  {t_pred*1e3:8.1f} ms   (post nms: {(t_pred-t_fwd)*1e3:.1f})")
+    print(f"fps: {1.0/t_pred:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,95 @@ def test_masked_batch_stats():
     sel = f[valid]
     np.testing.assert_allclose(np.asarray(mean), sel.mean(0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(var), sel.var(0), atol=1e-5)
+
+
+def _grad_pair(feats, keys, grid, kernel, stride, padding, out_cap, seed=3):
+    """(custom-VJP grads, autodiff grads) for one strided conv."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    rb, out_grid = sparse.build_conv_rulebook_batched(
+        keys[None], grid, kernel, stride, padding, out_cap)
+    rb_t = sparse.build_inverse_rulebook_batched(
+        keys[None], rb.out_keys, grid, out_grid, kernel, stride, padding)
+    k = kernel[0] * kernel[1] * kernel[2]
+    cin = feats.shape[-1]
+    w = rng.normal(size=(k, cin, 5)).astype(np.float32)
+    cot = rng.normal(size=(1, out_cap, 5)).astype(np.float32)
+
+    def loss(transpose):
+        def f(x, wt):
+            out = sparse.sparse_conv_apply_batched(
+                x, rb, wt, transpose=transpose)
+            return jnp.sum(out * cot)
+        return jax.grad(f, argnums=(0, 1))(jnp.asarray(feats[None]), jnp.asarray(w))
+
+    return loss(rb_t), loss(None)
+
+
+def test_custom_vjp_strided_matches_autodiff():
+    rng = np.random.default_rng(11)
+    grid = GridSpec(14, 12, 9)
+    feats, keys = make_sparse(rng, grid, 150, 200, 7)
+    (dx_c, dw_c), (dx_a, dw_a) = _grad_pair(
+        feats, keys, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 160)
+    np.testing.assert_allclose(dx_c, dx_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dw_c, dw_a, rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_strided_asymmetric_matches_autodiff():
+    rng = np.random.default_rng(12)
+    grid = GridSpec(10, 10, 8)
+    feats, keys = make_sparse(rng, grid, 120, 150, 4)
+    (dx_c, dw_c), (dx_a, dw_a) = _grad_pair(
+        feats, keys, grid, (1, 1, 3), (1, 1, 2), (0, 0, 0), 150)
+    np.testing.assert_allclose(dx_c, dx_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dw_c, dw_a, rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_subm_mirror_matches_autodiff():
+    import jax
+
+    rng = np.random.default_rng(13)
+    grid = GridSpec(12, 11, 7)
+    feats, keys = make_sparse(rng, grid, 140, 180, 6)
+    rb = sparse.build_subm_rulebook_batched(jnp.asarray(keys)[None], grid)
+    w = rng.normal(size=(27, 6, 5)).astype(np.float32)
+    cot = rng.normal(size=(1, 180, 5)).astype(np.float32)
+
+    def grads(transpose):
+        def f(x, wt):
+            out = sparse.sparse_conv_apply_batched(x, rb, wt, transpose=transpose)
+            return jnp.sum(out * cot)
+        return jax.grad(f, argnums=(0, 1))(jnp.asarray(feats[None]), jnp.asarray(w))
+
+    (dx_c, dw_c) = grads("mirror")
+    (dx_a, dw_a) = grads(None)
+    np.testing.assert_allclose(dx_c, dx_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dw_c, dw_a, rtol=1e-5, atol=1e-5)
+
+
+def test_custom_vjp_forward_identical():
+    rng = np.random.default_rng(14)
+    grid = GridSpec(12, 11, 7)
+    feats, keys = make_sparse(rng, grid, 140, 180, 6)
+    rb = sparse.build_subm_rulebook_batched(jnp.asarray(keys)[None], grid)
+    w = rng.normal(size=(27, 6, 5)).astype(np.float32)
+    a = sparse.sparse_conv_apply_batched(jnp.asarray(feats[None]), rb, jnp.asarray(w))
+    b = sparse.sparse_conv_apply_batched(jnp.asarray(feats[None]), rb, jnp.asarray(w),
+                                         transpose="mirror")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_dense_lut_corner_voxel_not_clobbered():
+    """Regression: padding rows used to scatter -1 into LUT cell 0, hiding a
+    real active voxel at the grid corner (linearized key 0)."""
+    grid = GridSpec(4, 4, 4)
+    keys = jnp.asarray([0, 5, 9, INVALID_KEY, INVALID_KEY], jnp.int32)
+    lut = sparse.build_dense_lut(keys, grid)
+    assert int(lut[0]) == 0
+    assert int(lut[5]) == 1
+    assert int(lut[9]) == 2
+    idx, found = sparse.lookup_dense(lut, jnp.asarray([0, 1]), jnp.asarray([True, True]))
+    assert bool(found[0]) and int(idx[0]) == 0
+    assert not bool(found[1])
