@@ -160,6 +160,19 @@ def lookup_dense(lut, queries, query_ok):
     return jnp.where(found, rows, 0).astype(jnp.int32), found
 
 
+def lookup_dense_rows(lut, queries, query_ok):
+    """lookup_dense for (P, V) tap-major queries, one gather per tap row.
+
+    One flattened (P*V,)-index gather lowers to the slow scalar path on TPU
+    (see gather_rows_per_tap); P separate (V,)-index gathers run near
+    bandwidth."""
+    p = queries.shape[0]
+    safe_q = jnp.where(query_ok, queries, 0)
+    rows = jnp.stack([lut[safe_q[t]] for t in range(p)])
+    found = query_ok & (rows >= 0)
+    return jnp.where(found, rows, 0).astype(jnp.int32), found
+
+
 def _kernel_offsets(kernel: Tuple[int, int, int]):
     """Static list of (dz, dy, dx) offsets relative to the kernel origin."""
     kx, ky, kz = kernel
@@ -216,7 +229,7 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
     if grid.num_cells <= DENSE_LUT_MAX_CELLS:
         lut = build_dense_lut(keys, grid)
         queries = keys[None, :] + deltas[:, None]
-        idx_all, found_all = lookup_dense(lut, queries, in_bounds & valid[None, :])
+        idx_all, found_all = lookup_dense_rows(lut, queries, in_bounds & valid[None, :])
     else:
         queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
         idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
@@ -343,7 +356,7 @@ def _build_conv_rulebook_jit(
     ) & out_valid[None, :]
     if grid.num_cells <= DENSE_LUT_MAX_CELLS:
         lut = build_dense_lut(keys, grid)
-        idx_all, found_all = lookup_dense(lut, qkeys.astype(jnp.int32), in_bounds)
+        idx_all, found_all = lookup_dense_rows(lut, qkeys.astype(jnp.int32), in_bounds)
     else:
         qk = jnp.where(in_bounds, qkeys, SENTINEL).astype(jnp.int32)
         safe_keys = jnp.where(keys != INVALID_KEY, keys, SENTINEL)
@@ -396,7 +409,7 @@ def build_inverse_rulebook(
     qkeys = ((oc[..., 0] * out_grid.ny + oc[..., 1]) * out_grid.nx + oc[..., 2]).astype(jnp.int32)
     if out_grid.num_cells <= DENSE_LUT_MAX_CELLS:
         lut = build_dense_lut(out_keys, out_grid)
-        idx_all, found_all = lookup_dense(lut, qkeys, ok)
+        idx_all, found_all = lookup_dense_rows(lut, qkeys, ok)
     else:
         # output key is monotone nondecreasing in the input key per tap, so
         # each row is sorted and the batched rank-join applies
@@ -425,6 +438,24 @@ def _build_inverse_rulebook_jit(in_keys, out_keys, grid, out_grid, kernel, strid
     return build_inverse_rulebook(in_keys, out_keys, grid, out_grid, kernel, stride, padding)
 
 
+def gather_rows_per_tap(features, idx, found):
+    """Masked im2col built as K PER-TAP gathers: (B, V, C) x (B, N, K) ->
+    (B, N, K, C).
+
+    Measured on TPU v5e: one flattened (N*K,)-row gather lowers to a
+    ~6.5 cycles/row scalar path (26 ms at stage-1 scale), while K separate
+    (N,)-row gathers run near memory bandwidth (2.2 ms) -- 12x. Never emit
+    the flattened form on the conv path.
+    """
+    k = idx.shape[-1]
+    cols = [
+        jnp.take_along_axis(features, idx[:, :, t][..., None], axis=1)
+        for t in range(k)
+    ]
+    gathered = jnp.stack(cols, axis=2)  # (B, N, K, C)
+    return jnp.where(found[..., None], gathered, 0)
+
+
 def _gather_gemm(features, idx, found, w_flat, compute_dtype):
     """Masked im2col gather + one GEMM. features (B, V_in, C); idx/found
     (B, V_out, K); w_flat (K*C, Cout) -> (B, V_out, Cout) f32."""
@@ -433,9 +464,7 @@ def _gather_gemm(features, idx, found, w_flat, compute_dtype):
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         w_flat = w_flat.astype(compute_dtype)
-    gathered = jnp.take_along_axis(features, idx.reshape(b, v_out * k)[..., None], axis=1)
-    gathered = gathered.reshape(b, v_out, k, c)
-    gathered = jnp.where(found[..., None], gathered, 0)
+    gathered = gather_rows_per_tap(features, idx, found)
     return jax.lax.dot_general(
         gathered.reshape(b * v_out, k * c),
         w_flat,
@@ -470,33 +499,44 @@ def _sparse_conv_core_fwd(compute_dtype, mirror, features, weights,
 
 
 def _sparse_conv_core_bwd(compute_dtype, mirror, res, g):
+    """Backward = ONE transpose-rulebook gather + two GEMMs, zero scatters.
+
+    With gt[u, k] = t_found[u,k] ? dY[t_idx[u,k]] : 0 (the per-tap transpose
+    gather of the cotangent):
+      dX[u]      = sum_k gt[u, k] @ W[k]^T
+      dW[k,c,d]  = sum_{b,u} X[b,u,c] * gt[b,u,k,d]
+    The dW identity re-indexes the forward sum v->u = idx[v,k] through the
+    per-tap-injective transpose map, so the forward im2col never needs to be
+    recomputed (or worse, CSE-kept alive by XLA as a 0.5 GB residual per
+    layer, which is what a re-gather formulation does under remat=False).
+    """
     features, weights, idx, found, out_valid, t_idx, t_found = res
     k, cin, cout = weights.shape
-    b, v_out, _ = idx.shape
+    b, v_in, _ = t_idx.shape
     g = jnp.where(out_valid[..., None], g, 0.0)
     if mirror:
         # submanifold: transpose rulebook = same table, taps reversed
         t_idx = idx[..., ::-1]
         t_found = found[..., ::-1]
-    # dX[u] = sum_k t_found[u,k] * g[t_idx[u,k]] @ W[k]^T  (gather-GEMM)
+    gg = g.astype(compute_dtype) if compute_dtype is not None else g
+    gt = gather_rows_per_tap(gg, t_idx, t_found)  # (B, V_in, K, Cout)
+    # dX: (B*V_in, K*Cout) @ (K*Cout, Cin)
     w_t = jnp.transpose(weights, (0, 2, 1)).reshape(k * cout, cin)
-    dx = _gather_gemm(g, t_idx, t_found, w_t, compute_dtype)
-    dx = dx.astype(features.dtype)
-    # dW[k] = sum_{b,v} found[v,k] * X[idx[v,k]] (outer) g[v]  (re-gather + GEMM)
-    feats = features
-    gg = g
     if compute_dtype is not None:
-        feats = feats.astype(compute_dtype)
-        gg = gg.astype(compute_dtype)
-    xg = jnp.take_along_axis(feats, idx.reshape(b, v_out * k)[..., None], axis=1)
-    xg = xg.reshape(b, v_out, k, cin)
-    xg = jnp.where(found[..., None], xg, 0)
+        w_t = w_t.astype(compute_dtype)
+    dx = jax.lax.dot_general(
+        gt.reshape(b * v_in, k * cout), w_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, v_in, cin).astype(features.dtype)
+    # dW: contract (b, u) between X (B,V,Cin) and gt (B,V,K*Cout)
+    feats = features.astype(compute_dtype) if compute_dtype is not None else features
     dw = jax.lax.dot_general(
-        xg, gg,
+        feats, gt.reshape(b, v_in, k * cout),
         dimension_numbers=(((0, 1), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # contract (b, v) -> (K, Cin, Cout)
-    dw = dw.astype(weights.dtype)
+    )  # (Cin, K*Cout)
+    dw = jnp.transpose(dw.reshape(cin, k, cout), (1, 0, 2)).astype(weights.dtype)
     return dx, dw, None, None, None, None, None
 
 
@@ -518,7 +558,8 @@ def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    gathered = features[rulebook.idx]  # (V_out, K, Cin)
+    # per-tap gathers (see gather_rows_per_tap: 12x over the flattened form)
+    gathered = jnp.stack([features[rulebook.idx[:, t]] for t in range(k)], axis=1)
     gathered = jnp.where(rulebook.found[..., None], gathered, 0)
     out = jax.lax.dot_general(
         gathered.reshape(v_out, k * cin),
@@ -567,10 +608,7 @@ def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    idx_flat = rulebook.idx.reshape(b, v_out * k)
-    gathered = jnp.take_along_axis(features, idx_flat[..., None], axis=1)
-    gathered = gathered.reshape(b, v_out, k, cin)
-    gathered = jnp.where(rulebook.found[..., None], gathered, 0)
+    gathered = gather_rows_per_tap(features, rulebook.idx, rulebook.found)
     out = jax.lax.dot_general(
         gathered.reshape(b * v_out, k * cin),
         weights.reshape(k * cin, cout),

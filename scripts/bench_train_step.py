@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--remat", choices=("on", "off"), default="on")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-roi", action="store_true", help="drop the RoI head")
+    ap.add_argument("--no-mm", action="store_true", help="drop the MM siamese branch")
     args = ap.parse_args()
 
     import jax
@@ -37,8 +39,9 @@ def main():
         voxel_size=(0.1, 0.1, 0.15),
         max_voxels=150_000,
         backbone_caps=(80_000, 40_000, 20_000, 20_000),
-        mm=True,
+        mm=not args.no_mm,
         remat=args.remat == "on",
+        with_roi_head=not args.no_roi,
         num_rois=500,
         roi_per_image=130,
     )
