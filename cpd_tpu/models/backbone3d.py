@@ -36,28 +36,38 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     get their transpose for free by mirroring tap columns."""
     g = stage_grids(grid)
     rbs = {}
-    rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"])
+    # one dense LUT per stage level, shared by every builder that looks up
+    # that stage's keys (subm taps, strided input taps, inverse output taps):
+    # the LUT scatter is cheap but not free, and was built up to 3x per level
+    lut0 = sparse.build_dense_lut_batched(keys, g["x_conv1"])
+    rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"], lut=lut0)
     rbs["down2"], _ = sparse.build_conv_rulebook_batched(
-        keys, g["x_conv1"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[0])
+        keys, g["x_conv1"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[0], lut=lut0)
     k1 = rbs["down2"].out_keys
-    rbs["subm2"] = sparse.build_subm_rulebook_batched(k1, g["x_conv2"])
+    lut1 = sparse.build_dense_lut_batched(k1, g["x_conv2"])
+    rbs["subm2"] = sparse.build_subm_rulebook_batched(k1, g["x_conv2"], lut=lut1)
     rbs["down3"], _ = sparse.build_conv_rulebook_batched(
-        k1, g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1])
+        k1, g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1], lut=lut1)
     k2 = rbs["down3"].out_keys
-    rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"])
+    lut2 = sparse.build_dense_lut_batched(k2, g["x_conv3"])
+    rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"], lut=lut2)
     rbs["down4"], _ = sparse.build_conv_rulebook_batched(
-        k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2])
+        k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2], lut=lut2)
     k3 = rbs["down4"].out_keys
-    rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"])
+    lut3 = sparse.build_dense_lut_batched(k3, g["x_conv4"])
+    rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"], lut=lut3)
     rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
-        k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3])
+        k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3], lut=lut3)
     if with_transpose:
         rbs["down2_T"] = sparse.build_inverse_rulebook_batched(
-            keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1))
+            keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out_lut=lut1)
         rbs["down3_T"] = sparse.build_inverse_rulebook_batched(
-            k1, k2, g["x_conv2"], g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 1))
+            k1, k2, g["x_conv2"], g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out_lut=lut2)
         rbs["down4_T"] = sparse.build_inverse_rulebook_batched(
-            k2, k3, g["x_conv3"], g["x_conv4"], (3, 3, 3), (2, 2, 2), (1, 1, 0))
+            k2, k3, g["x_conv3"], g["x_conv4"], (3, 3, 3), (2, 2, 2), (1, 1, 0),
+            out_lut=lut3)
         rbs["conv_out_T"] = sparse.build_inverse_rulebook_batched(
             k3, rbs["conv_out"].out_keys, g["x_conv4"], g["encoded"],
             (1, 1, 3), (1, 1, 2), (0, 0, 0))

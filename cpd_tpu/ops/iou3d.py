@@ -71,23 +71,31 @@ def _segment_intersections(a_quad, b_quad):
 def _convex_area_from_candidates(pts, valid):
     """Area of the convex polygon spanned by the valid candidate points.
 
-    pts: (K, 2), valid: (K,) bool. Sorts valid points by angle around their
-    centroid; invalid slots are collapsed onto the first valid point so the
-    shoelace ring contributes zero for them (static-shape trick).
+    pts: (K, 2), valid: (K,) bool. SORT-FREE: instead of ordering the points
+    by angle (a per-pair argsort + gathers, which lower to slow scalar paths
+    when vmapped over an (N, M) pair matrix), build the next-by-angle
+    successor as a one-hot (K, K) matrix -- the hull edge i->j exists iff j
+    minimizes the ccw angle gap from i -- and sum cross(p_i, p_j) through it.
+    Pure elementwise/reduction work; the angle of each point gets an
+    index-scaled epsilon so successors are unique even for coincident points
+    (duplicates then sit adjacent in the cycle and contribute zero area).
     """
     k = pts.shape[0]
     num_valid = jnp.sum(valid.astype(jnp.int32))
     vf = valid.astype(pts.dtype)[:, None]
     centroid = jnp.sum(pts * vf, axis=0) / jnp.maximum(num_valid, 1).astype(pts.dtype)
     ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort to the end
-    order = jnp.argsort(ang)
-    pts_sorted = pts[order]
-    idx = jnp.arange(k)
-    idx = jnp.where(idx < num_valid, idx, 0)
-    ring = pts_sorted[idx]  # (K, 2) with invalid slots duplicating point 0
-    nxt = jnp.roll(ring, -1, axis=0)
-    area2 = jnp.sum(ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1])
+    ang = ang + jnp.arange(k, dtype=pts.dtype) * 1e-6  # strict total order
+    two_pi = 2.0 * jnp.pi
+    # ccw gap from i to j in (0, 2pi]; invalid rows/cols excluded
+    gap = jnp.mod(ang[None, :] - ang[:, None], two_pi)
+    gap = jnp.where(gap <= 0.0, two_pi, gap)  # self/zero gap wraps fully
+    pair_ok = valid[:, None] & valid[None, :]
+    gap = jnp.where(pair_ok, gap, jnp.inf)
+    succ = gap == jnp.min(gap, axis=1, keepdims=True)  # (K, K) one-hot rows
+    succ = succ & pair_ok
+    cross = pts[:, 0][:, None] * pts[:, 1][None, :] - pts[None, :, 0] * pts[:, 1][:, None]
+    area2 = jnp.sum(jnp.where(succ, cross, 0.0))
     area = 0.5 * jnp.abs(area2)
     return jnp.where(num_valid >= 3, area, 0.0)
 

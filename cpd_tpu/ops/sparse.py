@@ -194,7 +194,8 @@ class Rulebook(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("grid", "kernel"))
-def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3, 3, 3)) -> Rulebook:
+def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3, 3, 3),
+                        lut=None) -> Rulebook:
     """Submanifold rulebook: output sites == input sites (SubMConv3d semantics).
 
     keys: (V_cap,) sorted int32. Each kernel offset's query set is the key
@@ -226,8 +227,9 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
         & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
         & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
     )
-    if grid.num_cells <= DENSE_LUT_MAX_CELLS:
-        lut = build_dense_lut(keys, grid)
+    if lut is not None or grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        if lut is None:
+            lut = build_dense_lut(keys, grid)
         queries = keys[None, :] + deltas[:, None]
         idx_all, found_all = lookup_dense_rows(lut, queries, in_bounds & valid[None, :])
     else:
@@ -273,9 +275,10 @@ def build_conv_rulebook(
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
     out_cap: int,
+    lut=None,
 ) -> Tuple[Rulebook, GridSpec]:
     out_grid = grid.downsample(stride, padding, kernel)
-    rb = _build_conv_rulebook_jit(keys, grid, out_grid, kernel, stride, padding, out_cap)
+    rb = _build_conv_rulebook_jit(keys, grid, out_grid, kernel, stride, padding, out_cap, lut)
     return rb, out_grid
 
 
@@ -288,6 +291,7 @@ def _build_conv_rulebook_jit(
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
     out_cap: int,
+    lut=None,
 ) -> Rulebook:
     """Strided (non-submanifold) rulebook: SparseConv3d semantics.
 
@@ -354,8 +358,9 @@ def _build_conv_rulebook_jit(
         & (ic[..., 1] >= 0) & (ic[..., 1] < grid.ny)
         & (ic[..., 0] >= 0) & (ic[..., 0] < grid.nz)
     ) & out_valid[None, :]
-    if grid.num_cells <= DENSE_LUT_MAX_CELLS:
-        lut = build_dense_lut(keys, grid)
+    if lut is not None or grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        if lut is None:
+            lut = build_dense_lut(keys, grid)
         idx_all, found_all = lookup_dense_rows(lut, qkeys.astype(jnp.int32), in_bounds)
     else:
         qk = jnp.where(in_bounds, qkeys, SENTINEL).astype(jnp.int32)
@@ -378,6 +383,7 @@ def build_inverse_rulebook(
     kernel: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
+    out_lut=None,
 ) -> Rulebook:
     """Transpose of a strided-conv rulebook, per-tap aligned.
 
@@ -407,8 +413,8 @@ def build_inverse_rulebook(
     )
     ok = divisible & in_bounds & valid[None, :]
     qkeys = ((oc[..., 0] * out_grid.ny + oc[..., 1]) * out_grid.nx + oc[..., 2]).astype(jnp.int32)
-    if out_grid.num_cells <= DENSE_LUT_MAX_CELLS:
-        lut = build_dense_lut(out_keys, out_grid)
+    if out_lut is not None or out_grid.num_cells <= DENSE_LUT_MAX_CELLS:
+        lut = out_lut if out_lut is not None else build_dense_lut(out_keys, out_grid)
         idx_all, found_all = lookup_dense_rows(lut, qkeys, ok)
     else:
         # output key is monotone nondecreasing in the input key per tap, so
@@ -426,16 +432,20 @@ def build_inverse_rulebook(
 
 
 def build_inverse_rulebook_batched(in_keys, out_keys, grid: GridSpec, out_grid: GridSpec,
-                                   kernel, stride, padding) -> Rulebook:
+                                   kernel, stride, padding, out_lut=None) -> Rulebook:
     """vmap of build_inverse_rulebook over a leading batch axis."""
     fn = partial(_build_inverse_rulebook_jit, grid=grid, out_grid=out_grid,
                  kernel=kernel, stride=stride, padding=padding)
-    return jax.vmap(fn)(in_keys, out_keys)
+    if out_lut is None:
+        return jax.vmap(lambda i, o: fn(i, o))(in_keys, out_keys)
+    return jax.vmap(lambda i, o, l: fn(i, o, out_lut=l))(in_keys, out_keys, out_lut)
 
 
 @partial(jax.jit, static_argnames=("grid", "out_grid", "kernel", "stride", "padding"))
-def _build_inverse_rulebook_jit(in_keys, out_keys, grid, out_grid, kernel, stride, padding):
-    return build_inverse_rulebook(in_keys, out_keys, grid, out_grid, kernel, stride, padding)
+def _build_inverse_rulebook_jit(in_keys, out_keys, grid, out_grid, kernel, stride, padding,
+                                out_lut=None):
+    return build_inverse_rulebook(in_keys, out_keys, grid, out_grid, kernel, stride, padding,
+                                  out_lut)
 
 
 def gather_rows_per_tap(features, idx, found):
@@ -620,18 +630,32 @@ def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
     return jnp.where(rulebook.out_valid[..., None], out, 0.0)
 
 
-def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3)) -> Rulebook:
+def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3), lut=None) -> Rulebook:
     """vmap of build_subm_rulebook over a leading batch axis of keys (B, V)."""
-    return jax.vmap(lambda k: build_subm_rulebook(k, grid, kernel))(keys)
+    if lut is None:
+        return jax.vmap(lambda k: build_subm_rulebook(k, grid, kernel))(keys)
+    return jax.vmap(lambda k, l: build_subm_rulebook(k, grid, kernel, l))(keys, lut)
 
 
-def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, out_cap):
+def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, out_cap,
+                                lut=None):
     """vmap of build_conv_rulebook over batch; returns (Rulebook with B axis, out_grid)."""
     out_grid = grid.downsample(stride, padding, kernel)
-    rb = jax.vmap(
-        lambda k: _build_conv_rulebook_jit(k, grid, out_grid, kernel, stride, padding, out_cap)
-    )(keys)
+    if lut is None:
+        rb = jax.vmap(
+            lambda k: _build_conv_rulebook_jit(k, grid, out_grid, kernel, stride, padding, out_cap)
+        )(keys)
+    else:
+        rb = jax.vmap(
+            lambda k, l: _build_conv_rulebook_jit(k, grid, out_grid, kernel, stride, padding,
+                                                  out_cap, l)
+        )(keys, lut)
     return rb, out_grid
+
+
+def build_dense_lut_batched(keys, grid: GridSpec):
+    """vmap of build_dense_lut: (B, V) keys -> (B, num_cells) int32."""
+    return jax.vmap(lambda k: build_dense_lut(k, grid))(keys)
 
 
 @partial(jax.jit, static_argnames=("grid", "channels"))

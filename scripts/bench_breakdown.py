@@ -90,6 +90,7 @@ def main():
                            method=lambda m, f, k, t: m.backbone(f, k, t))
     bb_j = jax.jit(bb)
     bb_out = bb_j(frame.features, keys)
+    bb_out = jax.tree_util.tree_map(jnp.asarray, bb_out)
     t_bb = timeit(lambda: bb_j(frame.features, keys), sync, args.iters)
     print(f"backbone (+rbs):     {t_bb*1e3:8.1f} ms   (minus rulebooks: {(t_bb-t_rb)*1e3:.1f})")
 
@@ -98,7 +99,7 @@ def main():
     vars_norh = {"params": {k: v for k, v in variables["params"].items() if k != "roi_head"},
                  "batch_stats": variables.get("batch_stats", {})}
     fwd_norh = jax.jit(lambda v, x: model_norh.apply(v, x, False))
-    o = fwd_norh(vars_norh, batch)
+    o_norh = fwd_norh(vars_norh, batch)
     t_norh = timeit(lambda: fwd_norh(vars_norh, batch), sync, args.iters)
     print(f"fwd to proposals:    {t_norh*1e3:8.1f} ms   (minus backbone: {(t_norh-t_bb)*1e3:.1f})")
 
@@ -112,6 +113,43 @@ def main():
     t_pred = timeit(lambda: pred(variables, batch), sync, args.iters)
     print(f"predict (+postNMS):  {t_pred*1e3:8.1f} ms   (post nms: {(t_pred-t_fwd)*1e3:.1f})")
     print(f"fps: {1.0/t_pred:.3f}")
+
+    # ---- roi-head internals -------------------------------------------------
+    from cpd_tpu.models.roi_head import compute_pool_queries
+    from cpd_tpu.models.backbone3d import stage_grids
+    import numpy as _np
+
+    scale_grids = stage_grids(grid)
+    n_rois = model.num_rois_test
+    rng2 = _np.random.default_rng(1)
+    rois = _np.zeros((b, n_rois, 7), _np.float32)
+    rois[..., :2] = rng2.uniform(-70, 70, (b, n_rois, 2))
+    rois[..., 2] = rng2.uniform(-1, 2, (b, n_rois))
+    rois[..., 3:6] = rng2.uniform(1, 5, (b, n_rois, 3))
+    rois[..., 6] = rng2.uniform(-3, 3, (b, n_rois))
+    rois = jnp.asarray(rois)
+    sf = {k: (v[0], v[1]) for k, v in bb_out.items()
+          if k.startswith(("x_conv3", "x_conv4"))}
+    specs = (("x_conv3", 4, ((2, 2, 2), 0.4), ((4, 4, 4), 0.8)),
+             ("x_conv4", 8, ((2, 2, 2), 0.8), ((4, 4, 4), 1.6)))
+    q_fn = jax.jit(lambda r, s: compute_pool_queries(
+        r, s, scale_grids, specs, model.voxel_size, model.point_cloud_range,
+        model.roi_grid_size, 16, ""))
+    qr = q_fn(rois, sf)
+    t_q = timeit(lambda: q_fn(rois, sf), sync, args.iters)
+    print(f"  roi voxel queries: {t_q*1e3:8.1f} ms")
+
+    # ---- dense-head decode + proposal NMS ----------------------------------
+    hp = jax.tree_util.tree_map(jnp.asarray, o_norh["head_preds"])
+    gen = jax.jit(lambda v, h: model.apply(
+        v, h, method=lambda m, hh: m.dense_head.generate_predicted_boxes(
+            hh, k=500, score_thresh=0.1,
+            nms_cfg={"NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096,
+                     "NMS_POST_MAXSIZE": n_rois},
+            post_max_size=n_rois)))
+    g = gen(variables, hp)
+    t_gen = timeit(lambda: gen(variables, hp), sync, args.iters)
+    print(f"  decode+prop NMS:   {t_gen*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":
