@@ -199,13 +199,28 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
         radii = tuple(float(rr) for _, rr in groups)
         qrange = tuple(max(g[0][d] for g in groups) for d in range(3))
 
-        def q_multi(qxyz, k):
-            return pool.voxel_query_multi(
-                qxyz, k, grid, tuple(voxel_size), point_cloud_range,
-                ds, qrange, radii, nsample,
-            )
+        # LUT built OUTSIDE the vmapped query: an in-vmap dense scatter
+        # trips a TPU compiler check (scatter_emitter operand_indices)
+        use_lut = pool.QUERY_USE_LUT and grid.num_cells <= pool.QUERY_LUT_MAX_CELLS
+        if use_lut:
+            from ..ops import sparse as _sparse
+            luts = _sparse.build_dense_lut_batched(keys, grid)
 
-        group_results = jax.vmap(q_multi)(queries, keys)
+            def q_multi(qxyz, k, l):
+                return pool.voxel_query_multi(
+                    qxyz, k, grid, tuple(voxel_size), point_cloud_range,
+                    ds, qrange, radii, nsample, lut=l,
+                )
+
+            group_results = jax.vmap(q_multi)(queries, keys, luts)
+        else:
+            def q_multi(qxyz, k):
+                return pool.voxel_query_multi(
+                    qxyz, k, grid, tuple(voxel_size), point_cloud_range,
+                    ds, qrange, radii, nsample,
+                )
+
+            group_results = jax.vmap(q_multi)(queries, keys)
         for gi, (idx, valid, centers) in enumerate(group_results):
             rel = centers - queries[:, :, None, :]
             out[f"{name}_{gi}"] = (idx, valid, rel)

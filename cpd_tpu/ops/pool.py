@@ -22,8 +22,16 @@ import jax
 import jax.numpy as jnp
 
 from .sparse import (DENSE_LUT_MAX_CELLS, GridSpec, INVALID_KEY, SENTINEL,
-                     build_dense_lut, lookup, lookup_dense, lookup_sorted_rows)
+                     build_dense_lut, lookup, lookup_dense, lookup_dense_rows,
+                     lookup_sorted_rows)
 from .geometry import rotate_points_along_z
+
+# LUT path for the RoI voxel queries: per-tap (Q,)-row LUT gathers instead of
+# the (W, V+Q) rank-join sorts. The earlier AOT-compiler SIGABRT came from the
+# flattened (W*Q,)-index gather form; the per-row form compiles and is faster
+# (the x_conv3/x_conv4 grids are only 1.5M / 0.18M cells).
+QUERY_USE_LUT = True
+QUERY_LUT_MAX_CELLS = 16_000_000
 
 
 def roi_grid_points(rois, grid_size: int):
@@ -142,6 +150,7 @@ def voxel_query_fast(
     radius: float,
     nsample: int,
     max_taps: int = 135,
+    lut=None,
 ):
     """Rank-join voxel query: sort the queries once, then every window tap is
     a constant key offset of a sorted array -- resolved by ONE batched
@@ -170,10 +179,9 @@ def voxel_query_fast(
     w = offs.shape[0]
     deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]  # (W,)
 
-    # NOTE: the LUT variant of this query SIGABRTs the TPU AOT compiler
-    # (gather of (W, Q) indices from the dense table inside the vmapped RoI
-    # head); the rulebook LUTs compile fine. Disabled pending a Pallas kernel.
-    use_lut = False
+    # per-tap-row LUT lookups (the flattened (W*Q,) gather form SIGABRTed the
+    # AOT compiler and was slow anyway; the per-row form is the fast path)
+    use_lut = QUERY_USE_LUT and grid.num_cells <= QUERY_LUT_MAX_CELLS
     if use_lut:
         # dense LUT: direct gathers, no query sorting
         order = jnp.arange(q_n, dtype=jnp.int32)
@@ -191,9 +199,10 @@ def voxel_query_fast(
         & (nz_c >= 0) & (nz_c < grid.nz)
     ) & (sq[None, :] < SENTINEL)
     if use_lut:
-        lut = build_dense_lut(voxel_keys, grid)
+        if lut is None:
+            lut = build_dense_lut(voxel_keys, grid)
         rows = jnp.where(sq[None, :] >= SENTINEL, 0, sq[None, :]) + deltas[:, None]
-        idx_all, found_all = lookup_dense(lut, rows, in_bounds)
+        idx_all, found_all = lookup_dense_rows(lut, rows, in_bounds)
     else:
         rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
         safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
@@ -236,6 +245,7 @@ def voxel_query_multi(
     radii: Tuple[float, ...],
     nsample: int,
     max_taps: int = 135,
+    lut=None,
 ):
     """Multi-radius voxel query sharing ONE sort-join.
 
@@ -258,16 +268,29 @@ def voxel_query_multi(
     )
     qkeys = (qc_xyz[:, 2] * grid.ny + qc_xyz[:, 1]) * grid.nx + qc_xyz[:, 0]
     qkeys = jnp.where(in_grid, qkeys, SENTINEL)
-    order = jnp.argsort(qkeys)
-    sq = qkeys[order]
+    use_lut = QUERY_USE_LUT and grid.num_cells <= QUERY_LUT_MAX_CELLS
+    if use_lut:
+        order = jnp.arange(q_n, dtype=jnp.int32)  # no sort needed for LUT
+        sq = qkeys
+    else:
+        order = jnp.argsort(qkeys)
+        sq = qkeys[order]
     r_max = max(radii)
     offs = _taps_for_radius(query_range, tuple(float(x) * downsample for x in voxel_size),
                             r_max, max_taps=max_taps)
     w = offs.shape[0]
     deltas = (offs[:, 0] * grid.ny + offs[:, 1]) * grid.nx + offs[:, 2]
-    rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
-    safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
-    idx_all, found_all = lookup_sorted_rows(safe_keys, rows)
+    if use_lut:
+        if lut is None:
+            lut = build_dense_lut(voxel_keys, grid)
+        rows = sq[None, :] + deltas[:, None]
+        idx_all, found_all = lookup_dense_rows(
+            lut, jnp.where(sq[None, :] >= SENTINEL, 0, rows),
+            sq[None, :] < SENTINEL)
+    else:
+        rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
+        safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
+        idx_all, found_all = lookup_sorted_rows(safe_keys, rows)
     sqc = qc_xyz[order]
     nx_c = sqc[None, :, 0] + offs[:, None, 2]
     ny_c = sqc[None, :, 1] + offs[:, None, 1]

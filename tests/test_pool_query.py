@@ -82,3 +82,35 @@ def test_voxel_query_multi_matches_single():
         got = [set(np.asarray(idx)[i][np.asarray(valid)[i]].tolist()) for i in range(len(queries))]
         want = [set(np.asarray(si)[i][np.asarray(sv)[i]].tolist()) for i in range(len(queries))]
         assert got == want, radius
+
+
+def test_voxel_query_multi_lut_matches_join(monkeypatch):
+    """The dense-LUT query path and the rank-join path must agree exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cpd_tpu.ops import pool
+    from cpd_tpu.ops.sparse import GridSpec, INVALID_KEY
+
+    rng = np.random.default_rng(5)
+    grid = GridSpec(40, 40, 11)
+    n_act, cap = 300, 400
+    keys = np.sort(rng.choice(grid.num_cells, n_act, replace=False).astype(np.int32))
+    keys = jnp.asarray(np.concatenate([keys, np.full(cap - n_act, INVALID_KEY, np.int32)]))
+    q = jnp.asarray(rng.uniform(0, 15, (200, 3)).astype(np.float32))
+    kwargs = dict(grid=grid, voxel_size=(0.4, 0.4, 0.6), point_cloud_range=(0, 0, 0, 16, 16, 6.6),
+                  downsample=1, query_range=(3, 3, 3), radii=(0.8, 1.6), nsample=8)
+
+    # different max_taps values (both larger than the real tap set, so
+    # semantically identical) bust the jit cache; QUERY_USE_LUT is read at
+    # trace time and is not a cache key
+    monkeypatch.setattr(pool, "QUERY_USE_LUT", True)
+    out_lut = pool.voxel_query_multi(q, keys, max_taps=200, **kwargs)
+    monkeypatch.setattr(pool, "QUERY_USE_LUT", False)
+    out_join = pool.voxel_query_multi(q, keys, max_taps=201, **kwargs)
+    for (il, vl, cl), (ij, vj, cj) in zip(out_lut, out_join):
+        np.testing.assert_array_equal(np.asarray(vl), np.asarray(vj))
+        # indices may tie-break differently only where invalid
+        np.testing.assert_array_equal(np.asarray(il)[np.asarray(vl)],
+                                      np.asarray(ij)[np.asarray(vj)])
+        np.testing.assert_allclose(np.asarray(cl)[np.asarray(vl)],
+                                   np.asarray(cj)[np.asarray(vj)], atol=1e-5)
