@@ -36,25 +36,31 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     get their transpose for free by mirroring tap columns."""
     g = stage_grids(grid)
     rbs = {}
-    # one dense LUT per stage level, shared by every builder that looks up
-    # that stage's keys (subm taps, strided input taps, inverse output taps):
-    # the LUT scatter is cheap but not free, and was built up to 3x per level
-    lut0 = sparse.build_dense_lut_batched(keys, g["x_conv1"])
+
+    def stage_lut(k, gg):
+        # one dense LUT per stage level, shared by every builder that looks up
+        # that stage's keys; None (-> rank-join in the builders) above the
+        # LUT threshold
+        if gg.num_cells > sparse.DENSE_LUT_MAX_CELLS:
+            return None
+        return sparse.build_dense_lut_batched(k, gg)
+
+    lut0 = stage_lut(keys, g["x_conv1"])
     rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"], lut=lut0)
     rbs["down2"], _ = sparse.build_conv_rulebook_batched(
         keys, g["x_conv1"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[0], lut=lut0)
     k1 = rbs["down2"].out_keys
-    lut1 = sparse.build_dense_lut_batched(k1, g["x_conv2"])
+    lut1 = stage_lut(k1, g["x_conv2"])
     rbs["subm2"] = sparse.build_subm_rulebook_batched(k1, g["x_conv2"], lut=lut1)
     rbs["down3"], _ = sparse.build_conv_rulebook_batched(
         k1, g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1], lut=lut1)
     k2 = rbs["down3"].out_keys
-    lut2 = sparse.build_dense_lut_batched(k2, g["x_conv3"])
+    lut2 = stage_lut(k2, g["x_conv3"])
     rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"], lut=lut2)
     rbs["down4"], _ = sparse.build_conv_rulebook_batched(
         k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2], lut=lut2)
     k3 = rbs["down4"].out_keys
-    lut3 = sparse.build_dense_lut_batched(k3, g["x_conv4"])
+    lut3 = stage_lut(k3, g["x_conv4"])
     rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"], lut=lut3)
     rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
         k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3], lut=lut3)
@@ -108,9 +114,13 @@ class SubMConvBN(nn.Module):
     def __call__(self, features, rulebook: Rulebook, train: bool):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
+        # bf16 activations: the tall-skinny conv GEMM is ~2x faster with a
+        # bf16 result and the activation chain halves its HBM footprint; BN
+        # still computes its statistics in f32
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
                                                compute_dtype=self.compute_dtype,
-                                               transpose="mirror")
+                                               transpose="mirror",
+                                               out_dtype=self.compute_dtype or jnp.float32)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         if self.relu:
             out = nn.relu(out)
@@ -131,7 +141,8 @@ class StridedConvBN(nn.Module):
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
                                                compute_dtype=self.compute_dtype,
-                                               transpose=transpose)
+                                               transpose=transpose,
+                                               out_dtype=self.compute_dtype or jnp.float32)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         return nn.relu(out)
 

@@ -183,14 +183,14 @@ def voxel_query_fast(
     # AOT compiler and was slow anyway; the per-row form is the fast path)
     use_lut = QUERY_USE_LUT and grid.num_cells <= QUERY_LUT_MAX_CELLS
     if use_lut:
-        # dense LUT: direct gathers, no query sorting
-        order = jnp.arange(q_n, dtype=jnp.int32)
+        # dense LUT: direct gathers, no query sorting, no unsort scatter
+        order = None
         sq = qkeys
     else:
         order = jnp.argsort(qkeys)
         sq = qkeys[order]  # sorted query keys
 
-    sqc = qc_xyz[order]  # (Q, 3) xyz
+    sqc = qc_xyz if order is None else qc_xyz[order]  # (Q, 3) xyz
     nx_c = sqc[None, :, 0] + offs[:, None, 2]
     ny_c = sqc[None, :, 1] + offs[:, None, 1]
     nz_c = sqc[None, :, 2] + offs[:, None, 0]
@@ -213,7 +213,7 @@ def voxel_query_fast(
         (ny_c.astype(jnp.float32) + 0.5) * vs[1] + pcr[1],
         (nz_c.astype(jnp.float32) + 0.5) * vs[2] + pcr[2],
     ], axis=-1)  # (W, Q, 3)
-    sorted_query_xyz = query_xyz[order]
+    sorted_query_xyz = query_xyz if order is None else query_xyz[order]
     dist = jnp.linalg.norm(centers - sorted_query_xyz[None, :, :], axis=-1)  # (W, Q)
     ok = found_all & (dist <= radius)
     score = jnp.where(ok, -dist, -jnp.inf)
@@ -227,6 +227,8 @@ def voxel_query_fast(
         sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad)))
         sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
         sel_centers = jnp.pad(sel_centers, ((0, 0), (0, pad), (0, 0)))
+    if order is None:
+        return sel_idx, sel_valid, sel_centers
     # unsort back to the caller's query order
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
     return sel_idx[inv], sel_valid[inv], sel_centers[inv]
@@ -270,7 +272,7 @@ def voxel_query_multi(
     qkeys = jnp.where(in_grid, qkeys, SENTINEL)
     use_lut = QUERY_USE_LUT and grid.num_cells <= QUERY_LUT_MAX_CELLS
     if use_lut:
-        order = jnp.arange(q_n, dtype=jnp.int32)  # no sort needed for LUT
+        order = None  # LUT path: no query sorting, no unsort scatter
         sq = qkeys
     else:
         order = jnp.argsort(qkeys)
@@ -291,7 +293,7 @@ def voxel_query_multi(
         rows = jnp.where(sq[None, :] >= SENTINEL, SENTINEL, sq[None, :] + deltas[:, None])
         safe_keys = jnp.where(voxel_keys != INVALID_KEY, voxel_keys, SENTINEL)
         idx_all, found_all = lookup_sorted_rows(safe_keys, rows)
-    sqc = qc_xyz[order]
+    sqc = qc_xyz if order is None else qc_xyz[order]
     nx_c = sqc[None, :, 0] + offs[:, None, 2]
     ny_c = sqc[None, :, 1] + offs[:, None, 1]
     nz_c = sqc[None, :, 2] + offs[:, None, 0]
@@ -305,9 +307,12 @@ def voxel_query_multi(
         (ny_c.astype(jnp.float32) + 0.5) * vs[1] + pcr[1],
         (nz_c.astype(jnp.float32) + 0.5) * vs[2] + pcr[2],
     ], axis=-1)
-    sorted_query_xyz = query_xyz[order]
+    sorted_query_xyz = query_xyz if order is None else query_xyz[order]
     dist = jnp.linalg.norm(centers - sorted_query_xyz[None, :, :], axis=-1)
-    inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
+    if order is None:
+        inv = None
+    else:
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(q_n, dtype=order.dtype))
     outs = []
     for radius in radii:
         ok = found_all & (dist <= radius)
@@ -322,7 +327,10 @@ def voxel_query_multi(
             sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad)))
             sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
             sel_centers = jnp.pad(sel_centers, ((0, 0), (0, pad), (0, 0)))
-        outs.append((sel_idx[inv], sel_valid[inv], sel_centers[inv]))
+        if inv is None:
+            outs.append((sel_idx, sel_valid, sel_centers))
+        else:
+            outs.append((sel_idx[inv], sel_valid[inv], sel_centers[inv]))
     return tuple(outs)
 
 

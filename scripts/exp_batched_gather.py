@@ -73,5 +73,113 @@ def main():
         bench(squeeze_b, "squeezed fancy-index per tap", ref)
 
 
+def gemm_probe():
+    import argparse, time
+    import numpy as np
+    import jax, jax.numpy as jnp
+
+    B, V, K, C, COUT = 1, 150_000, 27, 16, 16
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, V, (B, V, K)).astype(np.int32))
+    found = jnp.asarray(rng.random((B, V, K)) < 0.4)
+    w = jnp.asarray(rng.normal(size=(K * C, COUT)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    g_pre = jnp.asarray(rng.normal(size=(B * V, K * C)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def sync(x):
+        np.asarray(x.ravel()[0])
+
+    def bench(fn, name):
+        out = fn(); sync(out)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fn()
+        sync(out)
+        print(f"{name:44s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms", flush=True)
+
+    @jax.jit
+    def gemm_only():
+        return jax.lax.dot_general(g_pre, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def gather_gemm_nomask():
+        cols = [jnp.take_along_axis(feats, idx[:, :, t][..., None], axis=1) for t in range(K)]
+        g = jnp.stack(cols, axis=2)
+        return jax.lax.dot_general(g.reshape(B * V, K * C), w,
+                                   dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def gather_gemm_mask():
+        cols = [jnp.take_along_axis(feats, idx[:, :, t][..., None], axis=1) for t in range(K)]
+        g = jnp.stack(cols, axis=2)
+        g = jnp.where(found[..., None], g, 0)
+        return jax.lax.dot_general(g.reshape(B * V, K * C), w,
+                                   dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def gather_gemm_maskmul():
+        # mask folded as a multiply instead of select
+        cols = [jnp.take_along_axis(feats, idx[:, :, t][..., None], axis=1) for t in range(K)]
+        g = jnp.stack(cols, axis=2)
+        g = g * found[..., None].astype(g.dtype)
+        return jax.lax.dot_general(g.reshape(B * V, K * C), w,
+                                   dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    bench(gemm_only, "GEMM only (150k,432)@(432,16)")
+    bench(gather_gemm_nomask, "gathers+GEMM, no mask")
+    bench(gather_gemm_mask, "gathers+mask(where)+GEMM")
+    bench(gather_gemm_maskmul, "gathers+mask(mul)+GEMM")
+
+
+
+
+def real_conv_probe():
+    import time
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from cpd_tpu.ops import sparse
+
+    B, V, K, C, COUT = 1, 150_000, 27, 16, 16
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, (B, V, K)).astype(np.int32))
+    found = jnp.asarray(rng.random((B, V, K)) < 0.4)
+    keys = jnp.asarray(np.sort(rng.choice(10**8, (B, V), replace=False).astype(np.int32)))
+    valid = jnp.ones((B, V), bool)
+    rb = sparse.Rulebook(idx=idx, found=found, out_keys=keys, out_valid=valid)
+    w = jnp.asarray(rng.normal(size=(K, C, COUT)).astype(np.float32) * 0.1)
+
+    def sync(x):
+        np.asarray(x.ravel()[0])
+
+    def bench(fn, name):
+        out = fn(); sync(out)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = fn()
+        sync(out)
+        print(f"{name:44s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms", flush=True)
+
+    bench(jax.jit(lambda: sparse.sparse_conv_apply_batched(
+        feats, rb, w, compute_dtype=jnp.bfloat16, transpose="mirror")),
+        "sparse_conv_apply_batched (custom vjp)")
+    bench(jax.jit(lambda: sparse.sparse_conv_apply_batched(
+        feats, rb, w, compute_dtype=jnp.bfloat16)),
+        "sparse_conv_apply_batched (plain)")
+    bench(jax.jit(lambda: sparse.sparse_conv_apply_batched(
+        feats, rb, w, compute_dtype=jnp.bfloat16, transpose="mirror")),
+        "custom vjp again (cache check)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if sys.argv[-1] == "gemm":
+        gemm_probe()
+    elif sys.argv[-1] == "real":
+        real_conv_probe()
+    else:
+        main()
