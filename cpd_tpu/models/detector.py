@@ -49,6 +49,11 @@ class VoxelRCNN(nn.Module):
     backbone_caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = True
     remat: bool = True  # rematerialize backbone/pooling activations in training
+    # selective override: None follows ``remat``; False stores the (bf16)
+    # backbone activations and skips the backward replay -- fits batch-4 MM
+    # on a 16G chip since the custom-VJP conv keeps no im2col residuals
+    remat_backbone: Any = None
+    remat_roi: Any = None
     with_roi_head: bool = True
     num_rois: int = 500          # proposals kept in training (reference TRAIN NMS_POST)
     num_rois_test: int = 200     # proposals refined at eval (reference TEST NMS_POST, yaml ROI_HEAD.NMS_CONFIG.TEST)
@@ -89,7 +94,7 @@ class VoxelRCNN(nn.Module):
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
                 mm=self.mm,
-                remat=self.remat,
+                remat=self.remat if self.remat_roi is None else self.remat_roi,
                 scale_grids=stage_grids(self.grid),
             )
 

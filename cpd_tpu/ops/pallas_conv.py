@@ -1,17 +1,18 @@
 """Pallas fused gather-GEMM kernels for the sparse-conv im2col path.
 
-The XLA lowering of ``table[idx]`` gathers at ~1 element/cycle, making the
-im2col gather the dominant cost of every sparse conv (forward AND the two
-backward gathers). These kernels keep the whole per-sample feature table
-resident in VMEM (all CPD stages fit: <= 150k x 16 ... 20k x 128) and gather
-rows inside the kernel right before the MXU contraction, so
+STATUS (kept for round 2+): correct in interpret mode (tests/test_pallas_conv.py)
+but NOT in production -- Mosaic currently rejects the in-kernel row gather
+("Cannot do int indexing on TPU"; take_along_axis requires same-shape
+input/indices). The production conv instead uses the measured-fastest XLA
+formulation: K separate per-tap (N,)-row gathers (near-bandwidth; the
+flattened (N*K,) gather lowers ~12x slower above ~2M indices) + one GEMM
+with a bf16 result (sparse.py::gather_rows_per_tap / _gather_gemm).
 
-  * rows move at vector width instead of element-at-a-time,
+If/when Mosaic grows a vectorized VMEM row-gather, these kernels remove the
+remaining HBM round-trip of the im2col tensor:
+  * feature table resident in VMEM (all CPD stages fit: 150k x 16 ... 20k x 128),
+  * rows gathered right before the MXU contraction,
   * the (V, K*Cin) im2col tensor never exists in HBM.
-
-Replaces the gathers of cpd/ops/pointnet2-style im2col in spirit; the
-reference's spconv CUDA equivalent is the gather-GEMM-scatter pipeline of
-SubMConv3d (see SURVEY.md section 2.1 "spconv").
 
 All kernels are shape-static; callers pad row counts to TILE multiples.
 Falls back to interpret mode off-TPU (tests).

@@ -467,25 +467,39 @@ def gather_rows_per_tap(features, idx, found):
     return jnp.where(found[..., None], gathered, 0)
 
 
-def _gather_gemm(features, idx, found, w_flat, compute_dtype, out_dtype=jnp.float32):
+def gather_rows_tap_major(features, idx, found):
+    """Masked im2col as K per-tap gathers in TAP-MAJOR layout:
+    (B, V, C) x (B, N, K) -> (B, K, N, C).
+
+    Per-tap (N,)-row gathers run ~12x faster than one flattened (N*K,) gather
+    (XLA's fast path caps at ~2M indices), and the tap-major stack avoids the
+    strided interleave writes of a (N, K, C) layout -- the downstream GEMM
+    contracts (K, C) directly via dot_general dimension numbers."""
+    k = idx.shape[-1]
+    cols = [
+        jnp.take_along_axis(features, idx[:, :, t][..., None], axis=1)
+        for t in range(k)
+    ]
+    gathered = jnp.stack(cols, axis=1)  # (B, K, N, C)
+    return jnp.where(jnp.swapaxes(found, 1, 2)[..., None], gathered, 0)
+
+
+def _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype=jnp.float32):
     """Masked im2col gather + one GEMM. features (B, V_in, C); idx/found
-    (B, V_out, K); w_flat (K*C, Cout) -> (B, V_out, Cout) in ``out_dtype``.
+    (B, V_out, K); weights (K, C, Cout) -> (B, V_out, Cout) in ``out_dtype``.
 
     ``out_dtype=bfloat16`` runs the tall-skinny GEMM ~2x faster on TPU
     (measured 1.56 vs 2.87 ms at stage-1 scale) and halves activation
     memory; keep float32 where accumulation accuracy matters (dW)."""
-    b, v_out, k = idx.shape
-    c = features.shape[-1]
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
-        w_flat = w_flat.astype(compute_dtype)
-    gathered = gather_rows_per_tap(features, idx, found)
+        weights = weights.astype(compute_dtype)
+    gathered = gather_rows_tap_major(features, idx, found)  # (B, K, N, C)
     return jax.lax.dot_general(
-        gathered.reshape(b * v_out, k * c),
-        w_flat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        gathered, weights,
+        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
         preferred_element_type=out_dtype,
-    ).reshape(b, v_out, -1)
+    )  # (B, N, Cout)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -500,10 +514,7 @@ def _sparse_conv_core(compute_dtype, mirror, out_dtype, features, weights,
     tap columns reversed), and dW re-gathers the im2col and contracts it
     against dY: all gathers + MXU GEMMs, zero scatters.
     """
-    k = idx.shape[-1]
-    cin = features.shape[-1]
-    return _gather_gemm(features, idx, found, weights.reshape(k * cin, -1),
-                        compute_dtype, out_dtype)
+    return _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype)
 
 
 def _sparse_conv_core_fwd(compute_dtype, mirror, out_dtype, features, weights,
@@ -534,24 +545,24 @@ def _sparse_conv_core_bwd(compute_dtype, mirror, out_dtype, res, g):
         t_idx = idx[..., ::-1]
         t_found = found[..., ::-1]
     gg = g.astype(compute_dtype) if compute_dtype is not None else g
-    gt = gather_rows_per_tap(gg, t_idx, t_found)  # (B, V_in, K, Cout)
-    # dX: (B*V_in, K*Cout) @ (K*Cout, Cin)
-    w_t = jnp.transpose(weights, (0, 2, 1)).reshape(k * cout, cin)
+    gt = gather_rows_tap_major(gg, t_idx, t_found)  # (B, K, V_in, Cout)
+    # dX: contract (K, Cout) against W^T (K, Cout, Cin)
+    w_t = jnp.transpose(weights, (0, 2, 1))
     if compute_dtype is not None:
         w_t = w_t.astype(compute_dtype)
     dx = jax.lax.dot_general(
-        gt.reshape(b * v_in, k * cout), w_t,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        gt, w_t,
+        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
         preferred_element_type=features.dtype,  # bf16 dX when activations are bf16
-    ).reshape(b, v_in, cin).astype(features.dtype)
-    # dW: contract (b, u) between X (B,V,Cin) and gt (B,V,K*Cout)
+    ).astype(features.dtype)
+    # dW: contract (b, u) between X (B,V,Cin) and gt (B,K,V,Cout) -> (Cin,K,Cout)
     feats = features.astype(compute_dtype) if compute_dtype is not None else features
     dw = jax.lax.dot_general(
-        feats, gt.reshape(b, v_in, k * cout),
-        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        feats, gt,
+        dimension_numbers=(((0, 1), (0, 2)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Cin, K*Cout)
-    dw = jnp.transpose(dw.reshape(cin, k, cout), (1, 0, 2)).astype(weights.dtype)
+    )  # (Cin, K, Cout)
+    dw = jnp.transpose(dw, (1, 0, 2)).astype(weights.dtype)
     return dx, dw, None, None, None, None, None
 
 

@@ -17,11 +17,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--points", type=int, default=200_000)
-    ap.add_argument("--remat", choices=("on", "off"), default="on")
+    ap.add_argument("--remat", choices=("on", "off", "roi-only"), default="on")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-roi", action="store_true", help="drop the RoI head")
     ap.add_argument("--no-mm", action="store_true", help="drop the MM siamese branch")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="time loss_step forward without gradients")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,8 @@ def main():
         max_voxels=150_000,
         backbone_caps=(80_000, 40_000, 20_000, 20_000),
         mm=not args.no_mm,
-        remat=args.remat == "on",
+        remat=args.remat != "off",
+        remat_backbone=(False if args.remat == "roi-only" else None),
         with_roi_head=not args.no_roi,
         num_rois=500,
         roi_per_image=130,
@@ -75,7 +78,21 @@ def main():
     }
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 1000)
     state = init_state(model, batch, tx)
-    train_step = make_train_step(model, donate=False)
+    if args.fwd_only:
+        def fwd_step(state, b, rng):
+            (loss, tb), _ = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                {**b, "cur_it": jnp.zeros((), jnp.float32)},
+                method=type(model).loss_step, mutable=["batch_stats"],
+                rngs={"sampling": rng, "dropout": rng},
+            )
+            tb["total_loss"] = loss
+            tb.setdefault("grad_norm", jnp.zeros(()))
+            tb.setdefault("skipped_nonfinite", jnp.zeros(()))
+            return state, tb
+        train_step = jax.jit(fwd_step)
+    else:
+        train_step = make_train_step(model, donate=False)
 
     def sync(o):
         np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])

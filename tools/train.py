@@ -86,6 +86,13 @@ def main(argv=None, dataset=None):
         training=True, seed=args.seed, dataset=dataset,
     )
     logger.info(f"train samples: {len(train_set)}  steps/epoch: {len(train_loader)}")
+    if len(train_set) == 0:
+        raise SystemExit(
+            f"dataset '{cfg.DATA_CONFIG.get('DATASET')}' is empty -- no processed "
+            f"data under DATA_PATH={cfg.DATA_CONFIG.get('DATA_PATH')!r}. Build infos "
+            "first (see cpd_tpu/datasets/waymo_unsupervised.py builders) or pass a "
+            "dataset with samples."
+        )
 
     model = build_network(cfg.MODEL, len(cfg.CLASS_NAMES), cfg.DATA_CONFIG)
     total_steps = max(len(train_loader) * epochs, 1)
