@@ -8,18 +8,24 @@ Design (TPU-first, nothing like spconv's hash-table CUDA implementation):
 
 * A sparse tensor is (features (V_cap, C), keys (V_cap,)) where ``keys`` are
   int32 linearized zyx coordinates, SORTED ascending, with padding slots set
-  to INT32_MAX at the end. Sortedness is the core invariant: every neighbor
-  lookup is a binary search (``jnp.searchsorted``), which XLA vectorizes --
-  no hash tables, no dynamic shapes.
+  to INT32_MAX at the end. Sortedness is the core invariant -- no hash
+  tables, no dynamic shapes.
+
+* Neighbor resolution: a dense per-stage key->row LUT with PER-TAP-ROW
+  gathers (``lookup_dense_rows``; a flattened multi-tap gather lowers to a
+  ~12x slower scalar path on TPU), falling back to the batched rank-join
+  (``lookup_sorted_rows``) above ``DENSE_LUT_MAX_CELLS``.
 
 * Rulebooks are dense (V_cap, K) int32 gather index tables + found masks,
   built once per sparsity pattern and shared by all convolutions with the
   same ``indice_key`` (mirroring spconv's indice_key reuse semantics,
   spconv_backbone.py:160-193 in the reference).
 
-* Convolution = im2col gather into (V_cap, K*Cin) followed by ONE large
-  (V_cap, K*Cin) @ (K*Cin, Cout) matmul: a single MXU-shaped GEMM per layer
-  instead of K small ones. Autodiff gives the scatter-add backward for free.
+* Convolution = tap-major masked im2col (K per-tap row gathers ->
+  (B, K, V, C)) contracted against (K, Cin, Cout) weights in ONE MXU GEMM,
+  with a custom VJP whose backward is ONE transpose-rulebook gather + two
+  GEMMs (dX via mirrored/inverse rulebooks; dW re-indexed through the same
+  gathered cotangent) -- zero scatter-adds anywhere in the conv path.
 
 * Downsampling (strided) convs build their output coordinate set with a
   sort-unique over the reduced candidate enumeration (ceil(k/s) candidates
