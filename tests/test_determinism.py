@@ -4,12 +4,13 @@ import jax
 import pytest
 
 import __graft_entry__ as ge
+from cpd_tpu.models.detector import VoxelRCNN
 from cpd_tpu.parallel import build_optimizer, init_state, make_train_step
 
 
 @pytest.mark.slow
 def test_train_step_deterministic():
-    model = ge.VoxelRCNN(**ge._TINY)
+    model = VoxelRCNN(**ge._TINY)
     batch = ge._make_batch(b=2, p=512, seed=3)
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 50)
 

@@ -37,9 +37,9 @@ def test_sharded_train_step_matches_single_device():
     """One DP train step on the 8-device mesh must produce finite loss and
     update params identically (up to tolerance) to the unsharded step."""
     import __graft_entry__ as ge
+    from cpd_tpu.models.detector import VoxelRCNN
 
-    model_cls = ge.VoxelRCNN
-    model = model_cls(**ge._TINY)
+    model = VoxelRCNN(**ge._TINY)
     batch = ge._make_batch(b=8, p=512, seed=1)
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 100)
     state0 = init_state(model, batch, tx, rng=jax.random.PRNGKey(7))
@@ -66,8 +66,9 @@ def test_sharded_train_step_matches_single_device():
 
 def test_eval_step_sharded():
     import __graft_entry__ as ge
+    from cpd_tpu.models.detector import VoxelRCNN
 
-    model = ge.VoxelRCNN(**ge._TINY)
+    model = VoxelRCNN(**ge._TINY)
     batch = ge._make_batch(b=8, p=512, seed=2)
     tx = build_optimizer({"OPTIMIZER": "adam"}, 10)
     state = init_state(model, batch, tx)
