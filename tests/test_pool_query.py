@@ -73,6 +73,7 @@ def test_voxel_query_multi_matches_single():
     multi = pool.voxel_query_multi(
         jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
         downsample=1, query_range=(2, 2, 2), radii=(0.5, 1.0), nsample=8,
+        select="nearest",
     )
     for radius, (idx, valid, cent) in zip((0.5, 1.0), multi):
         si, sv, sc = pool.voxel_query_fast(
@@ -82,6 +83,52 @@ def test_voxel_query_multi_matches_single():
         got = [set(np.asarray(idx)[i][np.asarray(valid)[i]].tolist()) for i in range(len(queries))]
         want = [set(np.asarray(si)[i][np.asarray(sv)[i]].tolist()) for i in range(len(queries))]
         assert got == want, radius
+
+
+def _first_k_oracle(queries, keys, centers, grid, vs_eff, query_range, radius,
+                    nsample):
+    """first-nsample-found in the production tap order (reference
+    voxel_query_gpu.cu semantics, distance-sorted scan order)."""
+    taps = pool._taps_for_radius_list(query_range, vs_eff, radius)
+    key_to_row = {int(k): i for i, k in enumerate(keys)}
+    out = []
+    for q in queries:
+        qc = np.floor(q / np.asarray(vs_eff)).astype(int)  # pcr = 0 in _setup
+        rows = []
+        for dz, dy, dx in taps:
+            c = qc + np.array([dx, dy, dz])
+            if not (0 <= c[0] < grid.nx and 0 <= c[1] < grid.ny and 0 <= c[2] < grid.nz):
+                continue
+            key = (c[2] * grid.ny + c[1]) * grid.nx + c[0]
+            row = key_to_row.get(int(key))
+            if row is None:
+                continue
+            if np.linalg.norm(centers[row] - q) <= radius:
+                rows.append(row)
+            if len(rows) == nsample:
+                break
+        out.append(rows)
+    return out
+
+
+def test_voxel_query_first_matches_scan_oracle():
+    """select='first' (production default) == the reference scan semantics."""
+    grid, keys, keys_pad, centers, queries, vs, pcr = _setup(3)
+    radius, nsample = 1.0, 4  # small nsample so first-k != all-found
+    idx, valid, cent = pool.voxel_query_fast(
+        jnp.asarray(queries), jnp.asarray(keys_pad), grid, vs, pcr,
+        downsample=1, query_range=(2, 2, 2), radius=radius, nsample=nsample,
+        select="first",
+    )
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    cent = np.asarray(cent)
+    want = _first_k_oracle(queries, keys, centers, grid, vs, (2, 2, 2),
+                           radius, nsample)
+    for i in range(len(queries)):
+        got = idx[i][valid[i]].tolist()
+        assert got == want[i], (i, got, want[i])
+        # centers of the selected voxels must match the true voxel centers
+        np.testing.assert_allclose(cent[i][valid[i]], centers[got], atol=1e-5)
 
 
 def test_voxel_query_multi_lut_matches_join(monkeypatch):
