@@ -80,7 +80,7 @@ def sample_rois_for_rcnn(
     easy_bg = roi_valid & (max_iou < cls_bg_thresh_lo)
     hard_bg = roi_valid & (max_iou >= cls_bg_thresh_lo) & (max_iou < fg_thresh)
 
-    k_fg, k_hard, k_easy = jax.random.split(rng, 3)
+    k_fg, k_hard, k_easy, k_fill, k_prio = jax.random.split(rng, 5)
     fg_rank = _rank_by_random(fg, k_fg)
     hard_rank = _rank_by_random(hard_bg, k_hard)
     easy_rank = _rank_by_random(easy_bg, k_easy)
@@ -98,7 +98,7 @@ def sample_rois_for_rcnn(
     sel_hard2 = hard_bg & (hard_rank < bg_quota - n_easy)
     sel_hard = sel_hard | sel_hard2
     selected = sel_fg | sel_hard | sel_easy
-    filler_rank = _rank_by_random(roi_valid & ~selected, k_easy)
+    filler_rank = _rank_by_random(roi_valid & ~selected, k_fill)
     need = roi_per_image - jnp.sum(selected.astype(jnp.int32))
     filler = roi_valid & ~selected & (filler_rank < need)
     selected = selected | filler
@@ -108,7 +108,7 @@ def sample_rois_for_rcnn(
         + jnp.where(sel_hard, 2e6, 0.0)
         + jnp.where(sel_easy, 1e6, 0.0)
         + jnp.where(filler, 5e5, 0.0)
-        + jax.random.uniform(k_fg, max_iou.shape)
+        + jax.random.uniform(k_prio, max_iou.shape)
     )
     priority = jnp.where(selected, priority, -jnp.inf)
     _, sel_idx = jax.lax.top_k(priority, roi_per_image)
@@ -181,7 +181,7 @@ def decode_roi_boxes(rois, rcnn_reg, coder: ResidualCoder):
 
 def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
                          voxel_size, point_cloud_range, grid_size, nsample,
-                         suffix: str = ""):
+                         suffix: str = "", use_lut=None, lut_max_cells=None):
     """The gradient-free half of roi_grid_pool: grid points + voxel queries.
 
     Computed OUTSIDE the remat boundary (rois are stop-gradient constants and
@@ -201,8 +201,9 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
 
         # LUT built OUTSIDE the vmapped query: an in-vmap dense scatter
         # trips a TPU compiler check (scatter_emitter operand_indices)
-        use_lut = pool.QUERY_USE_LUT and grid.num_cells <= pool.QUERY_LUT_MAX_CELLS
-        if use_lut:
+        eff_use = pool.QUERY_USE_LUT if use_lut is None else use_lut
+        eff_max = pool.QUERY_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
+        if eff_use and grid.num_cells <= eff_max:
             from ..ops import sparse as _sparse
             luts = _sparse.build_dense_lut_batched(keys, grid)
 
@@ -217,7 +218,7 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
             def q_multi(qxyz, k):
                 return pool.voxel_query_multi(
                     qxyz, k, grid, tuple(voxel_size), point_cloud_range,
-                    ds, qrange, radii, nsample,
+                    ds, qrange, radii, nsample, use_lut=False,
                 )
 
             group_results = jax.vmap(q_multi)(queries, keys)
@@ -301,7 +302,18 @@ class VoxelRCNNProtoHead(nn.Module):
     shared_fc: Tuple[int, ...] = (256, 256)
     dp_ratio: float = 0.3
     proto_ramp_steps: int = 5000
-    proto_weight: float = 0.2
+    proto_weight: float = 0.2          # ramp end value (voxel_rcnn_head.py:431-433)
+    rcnn_proto_weight: float = 1.0     # LOSS_WEIGHTS['rcnn_proto_weight']
+    # TARGET_CONFIG (proposal_target_layer.py; defaults = cproto_center yaml)
+    fg_ratio: float = 0.5
+    reg_fg_thresh: float = 0.3
+    cls_fg_thresh: float = 0.6
+    cls_bg_thresh: float = 0.02
+    cls_bg_thresh_lo: float = 0.01
+    hard_bg_ratio: float = 0.1
+    # LUT tuning (ROI_GRID_POOL.{USE_LUT, LUT_MAX_CELLS}); None = pool defaults
+    pool_use_lut: Any = None
+    pool_lut_max_cells: Any = None
 
     def setup(self):
         self.coder = ResidualCoder(code_size=7)
@@ -332,7 +344,14 @@ class VoxelRCNNProtoHead(nn.Module):
             rngs = jax.random.split(rng, proposals["rois"].shape[0])
             targets = jax.vmap(
                 lambda r, ro, sc, lb, v, gt, gv, css: sample_rois_for_rcnn(
-                    r, ro, sc, lb, v, gt, gv, css, roi_per_image=self.roi_per_image
+                    r, ro, sc, lb, v, gt, gv, css,
+                    roi_per_image=self.roi_per_image,
+                    fg_ratio=self.fg_ratio,
+                    reg_fg_thresh=self.reg_fg_thresh,
+                    cls_fg_thresh=self.cls_fg_thresh,
+                    cls_bg_thresh=self.cls_bg_thresh,
+                    cls_bg_thresh_lo=self.cls_bg_thresh_lo,
+                    hard_bg_ratio=self.hard_bg_ratio,
                 )
             )(
                 rngs,
@@ -356,7 +375,9 @@ class VoxelRCNNProtoHead(nn.Module):
         q0 = compute_pool_queries(rois, scale_features, self.scale_grids,
                                   self.pool_branch.scale_specs, self.voxel_size,
                                   self.point_cloud_range, self.grid_size,
-                                  self.pool_branch.nsample, "")
+                                  self.pool_branch.nsample, "",
+                                  use_lut=self.pool_use_lut,
+                                  lut_max_cells=self.pool_lut_max_cells)
         pooled0 = self.pool_branch(rois, scale_features, q0, "")
         shared0 = self.shared0(pooled0)
         rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
@@ -375,7 +396,9 @@ class VoxelRCNNProtoHead(nn.Module):
             q1 = compute_pool_queries(rois, scale_features, self.scale_grids,
                                       self.pool_branch_mm.scale_specs, self.voxel_size,
                                       self.point_cloud_range, self.grid_size,
-                                      self.pool_branch_mm.nsample, "_mm")
+                                      self.pool_branch_mm.nsample, "_mm",
+                                      use_lut=self.pool_use_lut,
+                                      lut_max_cells=self.pool_lut_max_cells)
             pooled1 = self.pool_branch_mm(rois, scale_features, q1, "_mm")
             shared1 = self.shared1(pooled1)
             out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]
@@ -425,23 +448,38 @@ class VoxelRCNNProtoHead(nn.Module):
         if "rcnn_cls_proto" in out:
             cls1 = cls_loss_fn(out["rcnn_cls_proto"])
             reg1 = reg_loss_fn(out["rcnn_reg_proto"])
-            total = total + 0.5 * (cls1 + reg1)
             tb.update({"rcnn_cls1": cls1, "rcnn_reg1": reg1})
-            # proto consistency: bb_loss(pred0, gt)*css + bb_loss(pred0, sg(pred1))*css
-            # + negative-cosine feature consistency, iteration-ramped weight
-            pred0 = decode_roi_boxes(rois, out["rcnn_reg"], self.coder)
-            pred1 = decode_roi_boxes(rois, out["rcnn_reg_proto"], self.coder)
-            w = reg_mask
-            bb_gt = loss_utils.bb_loss(pred0, t["gt_of_rois"][..., :7]) * w
-            bb_cons = loss_utils.bb_loss(pred0, jax.lax.stop_gradient(pred1)) * w
+            # proto block, reference formula (voxel_rcnn_head.py:556-579):
+            #   rcnn_loss = cls0 + reg0
+            #             + rcnn_proto_weight * (0.5*(cls1 + reg1) + proto_loss)
+            # proto_loss (voxel_rcnn_head.py:388-459): boxes are decoded in
+            # the CANONICAL roi frame (rois zeroed at origin and yaw);
+            #   b_loss0 = sum(bb(pred0_ct, gt_ct) * css * fg) / (fg.sum()+1)
+            #             -- UNRAMPED;
+            #   b_loss1 = same vs stop_grad(pred1_ct), ramped TWICE
+            #             (`b_loss1 *= w` appears twice in the reference);
+            #   cosine consistency masked by (cls_label >= 0) * css, ramped
+            #             once; w ramps 1e-5 -> 0.2 over 5000 iters.
+            local_anchor = jnp.concatenate(
+                [jnp.zeros_like(rois[..., 0:3]), rois[..., 3:6],
+                 jnp.zeros_like(rois[..., 6:7])], axis=-1)
+            pred0_ct = self.coder.decode(out["rcnn_reg"], local_anchor)
+            pred1_ct = self.coder.decode(out["rcnn_reg_proto"], local_anchor)
+            fgf = t["reg_valid_mask"].astype(jnp.float32) * valid.astype(jnp.float32)
+            denom = jnp.sum(fgf) + 1.0
+            b_loss0 = jnp.sum(
+                loss_utils.bb_loss(pred0_ct, gt_local) * css * fgf) / denom
+            b_loss1 = jnp.sum(
+                loss_utils.bb_loss(pred0_ct, jax.lax.stop_gradient(pred1_ct))
+                * css * fgf) / denom
             feat_cons = loss_utils.cosine_consistency_loss(
-                out["shared_features0"], out["shared_features1"], mask=valid
+                out["shared_features0"], out["shared_features1"],
+                mask=valid.astype(jnp.float32) * css,
             )
-            denom = jnp.clip(jnp.sum(w), min=1.0)
-            proto = (jnp.sum(bb_gt) + jnp.sum(bb_cons)) / denom + feat_cons
             it = batch.get("cur_it", jnp.asarray(self.proto_ramp_steps, jnp.float32))
             ramp = jnp.clip(it / self.proto_ramp_steps, min=0.0, max=1.0)
-            pw = 1e-5 + ramp * self.proto_weight
-            total = total + pw * proto
+            w = 1e-5 + ramp * (self.proto_weight - 1e-5)
+            proto = b_loss0 + w * w * b_loss1 + w * feat_cons
+            total = total + self.rcnn_proto_weight * (0.5 * (cls1 + reg1) + proto)
             tb["proto_loss"] = proto
         return total, tb

@@ -1,0 +1,103 @@
+"""Proto-loss parity with the reference formula (voxel_rcnn_head.py:388-459,
+556-579): canonical-frame decode, unramped b_loss0, double-ramped b_loss1,
+css-weighted cosine mask, rcnn_proto_weight on the whole proto block."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cpd_tpu.models.roi_head import (VoxelRCNNProtoHead, encode_roi_targets)
+from cpd_tpu.ops.box_coders import ResidualCoder
+from cpd_tpu.utils import loss as loss_utils
+
+
+def _fixture(seed=0, b=2, r=6):
+    rng = np.random.default_rng(seed)
+    rois = np.zeros((b, r, 7), np.float32)
+    rois[..., :2] = rng.uniform(-10, 10, (b, r, 2))
+    rois[..., 2] = rng.uniform(-1, 1, (b, r))
+    rois[..., 3:6] = rng.uniform(1.5, 4.0, (b, r, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (b, r))
+    gt = rois + rng.normal(0, 0.2, rois.shape).astype(np.float32)
+    out = {
+        "rcnn_cls": jnp.asarray(rng.normal(0, 1, (b, r)).astype(np.float32)),
+        "rcnn_reg": jnp.asarray(rng.normal(0, 0.1, (b, r, 7)).astype(np.float32)),
+        "rcnn_cls_proto": jnp.asarray(rng.normal(0, 1, (b, r)).astype(np.float32)),
+        "rcnn_reg_proto": jnp.asarray(rng.normal(0, 0.1, (b, r, 7)).astype(np.float32)),
+        "shared_features0": jnp.asarray(rng.normal(0, 1, (b, r, 16)).astype(np.float32)),
+        "shared_features1": jnp.asarray(rng.normal(0, 1, (b, r, 16)).astype(np.float32)),
+        "rois": jnp.asarray(rois),
+        "roi_targets": {
+            "rois": jnp.asarray(rois),
+            "gt_of_rois": jnp.asarray(gt),
+            "css": jnp.asarray(rng.uniform(0.3, 1.0, (b, r)).astype(np.float32)),
+            "valid": jnp.asarray(rng.random((b, r)) < 0.9),
+            "reg_valid_mask": jnp.asarray(rng.random((b, r)) < 0.6),
+            "cls_labels": jnp.asarray(rng.uniform(0, 1, (b, r)).astype(np.float32)),
+        },
+    }
+    return out
+
+
+def _get_loss(out, cur_it):
+    head = VoxelRCNNProtoHead(num_rois=6, roi_per_image=6)
+    total, tb = head.apply(
+        {}, out, {"cur_it": jnp.asarray(cur_it, jnp.float32)},
+        method=VoxelRCNNProtoHead.get_loss,
+    )
+    return float(total), {k: float(v) for k, v in tb.items()}
+
+
+def _reference_proto_formula(out, cur_it):
+    """The torch reference formula, recomputed independently."""
+    coder = ResidualCoder(code_size=7)
+    t = out["roi_targets"]
+    rois = np.asarray(out["rois"])
+    css = np.asarray(t["css"])
+    valid = np.asarray(t["valid"]).astype(np.float32)
+    fg = np.asarray(t["reg_valid_mask"]).astype(np.float32) * valid
+    # canonical-frame (rois zeroed at origin/yaw) decodes
+    local_anchor = np.concatenate(
+        [np.zeros_like(rois[..., :3]), rois[..., 3:6], np.zeros_like(rois[..., 6:7])], -1)
+    pred0 = np.asarray(coder.decode(out["rcnn_reg"], jnp.asarray(local_anchor)))
+    pred1 = np.asarray(coder.decode(out["rcnn_reg_proto"], jnp.asarray(local_anchor)))
+    _, gt_ct = jax.vmap(lambda rb, gb: encode_roi_targets(rb, gb, coder))(
+        out["rois"], t["gt_of_rois"])
+    gt_ct = np.asarray(gt_ct)
+    denom = fg.sum() + 1.0
+    bb = lambda a, b_: np.asarray(loss_utils.bb_loss(jnp.asarray(a), jnp.asarray(b_)))
+    b_loss0 = (bb(pred0, gt_ct) * css * fg).sum() / denom
+    b_loss1 = (bb(pred0, pred1) * css * fg).sum() / denom
+    f0 = np.asarray(out["shared_features0"])
+    f1 = np.asarray(out["shared_features1"])
+    cos = (f0 * f1).sum(-1) / (np.linalg.norm(f0, axis=-1)
+                               * np.linalg.norm(f1, axis=-1) + 1e-12)
+    cmask = valid * css
+    cos_loss = -(cos * cmask).sum() / max(cmask.sum(), 1.0)
+    w = 1e-5 + min(cur_it / 5000.0, 1.0) * (0.2 - 1e-5)
+    return b_loss0 + w * w * b_loss1 + w * cos_loss
+
+
+def test_proto_loss_matches_reference_formula():
+    out = _fixture()
+    for cur_it in (0.0, 1000.0, 5000.0, 20000.0):
+        total, tb = _get_loss(out, cur_it)
+        want_proto = _reference_proto_formula(out, cur_it)
+        assert abs(tb["proto_loss"] - want_proto) < 1e-4, (cur_it, tb["proto_loss"], want_proto)
+        # total = cls0 + reg0 + 1.0 * (0.5*(cls1+reg1) + proto)
+        want_total = (tb["rcnn_cls0"] + tb["rcnn_reg0"]
+                      + 0.5 * (tb["rcnn_cls1"] + tb["rcnn_reg1"]) + want_proto)
+        assert abs(total - want_total) < 1e-4, (cur_it, total, want_total)
+
+
+def test_proto_b_loss0_is_unramped():
+    """b_loss0 must NOT scale with the ramp: freezing features/preds so only
+    ramped terms vary, proto(it=a) - proto(it=b) must follow w(it)."""
+    out = _fixture(seed=1)
+    p0 = {it: _get_loss(out, it)[1]["proto_loss"] for it in (0.0, 5000.0)}
+    want0 = _reference_proto_formula(out, 0.0)
+    want1 = _reference_proto_formula(out, 5000.0)
+    assert abs(p0[0.0] - want0) < 1e-4
+    assert abs(p0[5000.0] - want1) < 1e-4
+    # the it=0 value is b_loss0 + (1e-5-scale terms): strictly positive ramp
+    # dependence must come only from b_loss1/cosine
+    assert p0[0.0] != p0[5000.0]
