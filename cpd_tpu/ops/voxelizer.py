@@ -26,15 +26,24 @@ class VoxelizerSpec(NamedTuple):
     voxel_size: tuple  # (vx, vy, vz)
     grid_size: tuple  # (nx, ny, nz) -- derived, static
     max_voxels: int
+    # spconv-parity switch: when set (the reference uses 5,
+    # data_processor.py:128 MAX_POINTS_PER_VOXEL), the mean runs over only the
+    # FIRST n points of each voxel in point order -- bit-faithful to
+    # Point2VoxelCPU3d + MeanVFE (mean_vfe.py:16) for checkpoint parity.
+    # None (default) = TPU-native all-points mean (strictly more accurate).
+    max_points_per_voxel: int = None
 
     @staticmethod
-    def create(point_cloud_range: Sequence[float], voxel_size: Sequence[float], max_voxels: int):
+    def create(point_cloud_range: Sequence[float], voxel_size: Sequence[float],
+               max_voxels: int, max_points_per_voxel: int = None):
         pcr = tuple(float(x) for x in point_cloud_range)
         vs = tuple(float(x) for x in voxel_size)
         grid = tuple(
             int(round((pcr[i + 3] - pcr[i]) / vs[i])) for i in range(3)
         )
-        return VoxelizerSpec(pcr, vs, grid, int(max_voxels))
+        return VoxelizerSpec(
+            pcr, vs, grid, int(max_voxels),
+            None if max_points_per_voxel is None else int(max_points_per_voxel))
 
 
 class VoxelizedFrame(NamedTuple):
@@ -97,6 +106,14 @@ def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
     # voxel slot for each sorted point: cumsum of first-flags - 1
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # (P,)
     point_ok = skey < big
+    if spec.max_points_per_voxel is not None:
+        # spconv truncation parity: keep only the first n points of each
+        # voxel in point order (argsort is stable, so sorted order preserves
+        # the original order within a voxel)
+        idx = jnp.arange(p_cap, dtype=jnp.int32)
+        seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+        rank = idx - seg_start
+        point_ok = point_ok & (rank < spec.max_points_per_voxel)
     slot_clipped = jnp.where(point_ok & (slot < v_cap), slot, v_cap)  # overflow bucket
     # segment-mean features
     sorted_pts = points[order]

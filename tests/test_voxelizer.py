@@ -89,3 +89,38 @@ def test_voxelize_batch_shapes():
     assert out.features.shape == (2, 64, 3)
     assert out.coords.shape == (2, 64, 3)
     assert out.valid.shape == (2, 64)
+
+
+def test_voxelize_truncated_mean_matches_spconv_oracle():
+    """max_points_per_voxel=5: mean over the FIRST 5 points of each voxel in
+    point order (Point2VoxelCPU3d + mean_vfe.py semantics)."""
+    spec = VoxelizerSpec.create([0, 0, 0, 8, 8, 8], [2, 2, 2], max_voxels=64,
+                                max_points_per_voxel=5)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 8, size=(400, 4)).astype(np.float32)
+    out = voxelize(jnp.asarray(pts), spec)
+    # NumPy oracle with spconv first-5-in-order semantics
+    keyof = lambda p: ((int(p[2] // 2) * 4 + int(p[1] // 2)) * 4 + int(p[0] // 2))
+    groups = {}
+    for p in pts:
+        groups.setdefault(keyof(p), []).append(p)
+    feats = np.asarray(out.features)
+    coords = np.asarray(out.coords)
+    counts = np.asarray(out.num_points)
+    valid = np.asarray(out.valid)
+    assert valid.sum() == len(groups)
+    for v in np.nonzero(valid)[0]:
+        z, y, x = coords[v]
+        key = (int(z) * 4 + int(y)) * 4 + int(x)
+        first5 = np.stack(groups[key][:5])
+        assert counts[v] == len(first5)
+        np.testing.assert_allclose(feats[v], first5.mean(0), rtol=1e-5, atol=1e-5)
+
+
+def test_voxelize_untruncated_mean_uses_all_points():
+    spec_all = VoxelizerSpec.create([0, 0, 0, 4, 4, 4], [4, 4, 4], max_voxels=4)
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(0, 4, size=(50, 3)).astype(np.float32)
+    out = voxelize(jnp.asarray(pts), spec_all)
+    np.testing.assert_allclose(np.asarray(out.features)[0], pts.mean(0), rtol=1e-5)
+    assert int(np.asarray(out.num_points)[0]) == 50
