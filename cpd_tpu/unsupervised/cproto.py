@@ -60,18 +60,31 @@ def box_frame_inverse(points: np.ndarray, box: np.ndarray) -> np.ndarray:
 class CSS:
     """Commonsense confidence score (c_proto_refine.py:13-41)."""
 
-    def __init__(self, mlo_parts=(9, 7, 5), max_dist: float = 75.0,
-                 predefined_size: Optional[dict] = None):
+    def __init__(self, mlo_parts=(9, 7, 5), max_dist: float = 80.0,
+                 predefined_size: Optional[dict] = None,
+                 weights=(1.0, 1.0, 1.0)):
         self.mlo_parts = tuple(mlo_parts)
         self.max_dist = max_dist
         self.sizes = predefined_size or PREDEFINED_SIZE
+        self.weights = np.asarray(weights, np.float64)
 
     def __call__(self, points: np.ndarray, box: np.ndarray, cls: str) -> float:
+        """Reference formula (c_proto_refine.py:20-41): CSS_weight-weighted
+        mean of 3D-distance score, MLO occupancy, and the KL size score of
+        the NORMALIZED (l, w, h) against the normalized class prior."""
         d = distance_score(box, self.max_dist)
         occ = hierarchical_occupancy_score(points, box, self.mlo_parts)
         prior = self.sizes.get(cls)
-        kl = KL_entropy_score(box[3:6], prior) if prior is not None else 0.5
-        return float((d + occ + kl) / 3.0)
+        if prior is not None:
+            size_n = np.asarray(box[3:6], np.float64)
+            size_n = size_n / size_n.sum()
+            prior_n = np.asarray(prior, np.float64)
+            prior_n = prior_n / prior_n.sum()
+            kl = KL_entropy_score(size_n, prior_n)
+        else:
+            kl = 0.5
+        w = self.weights / self.weights.sum()
+        return float(d * w[0] + occ * w[1] + kl * w[2])
 
 
 class CProtoRefiner:

@@ -242,19 +242,36 @@ def correct_orientation(box: np.ndarray, cluster: np.ndarray) -> np.ndarray:
     return box
 
 
-def correct_heading(box: np.ndarray, cluster: np.ndarray) -> np.ndarray:
-    """Resolve the front/back 180-deg ambiguity from the z profile
-    (outline_utils.py:444): vehicle fronts (hood) are lower than rears."""
+def correct_heading(box: np.ndarray, cluster: np.ndarray, parts: int = 10) -> np.ndarray:
+    """Resolve the front/back 180-deg ambiguity from the per-slice z profile
+    (outline_utils.py:444): split the box into ``parts`` longitudinal slices;
+    collect each non-empty slice's max z into the rear set (slice lower bound
+    < 0) and front set (upper bound > 0); flip when the rear mean is lower
+    (vehicle fronts/hoods are lower than rears)."""
     box = box.copy()
-    rel = cluster[:, :2] - box[:2]
+    rel = cluster[:, :3] - box[:3]
     c, s = np.cos(box[6]), np.sin(box[6])
     lx = rel[:, 0] * c + rel[:, 1] * s
-    front = lx > 0
-    if 5 <= front.sum() <= len(cluster) - 5:
-        z_front = np.percentile(cluster[front, 2], 90)
-        z_back = np.percentile(cluster[~front, 2], 90)
-        if z_front > z_back + 0.2:  # high side should be the back
-            box[6] += np.pi
+    lz = rel[:, 2]
+    l = box[3]
+    delta = l / parts
+    z_rear, z_front = [], []
+    for i in range(parts):
+        lo = -l / 2 + i * delta
+        hi = lo + delta
+        m = (lx >= lo) & (lx < hi)
+        if m.any():
+            zmax = float(lz[m].max())
+            if lo < 0:
+                z_rear.append(zmax)
+            if hi > 0:
+                z_front.append(zmax)
+    if not z_front:
+        z_front.append(0.0)
+    if not z_rear:
+        z_rear.append(0.0)
+    if np.mean(z_rear) < np.mean(z_front):
+        box[6] += np.pi
     return box
 
 
@@ -273,27 +290,30 @@ def box_fit_DGD(cluster: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def voxel_sampling(points: np.ndarray, voxel: float = 0.1) -> np.ndarray:
-    """Deduplicate points on a voxel grid (outline_utils.py:368)."""
+    """Deduplicate points on a voxel grid, keeping the LAST point of each
+    voxel in input order (outline_utils.py:368 dict-overwrite semantics);
+    grid origin at the cloud minimum."""
     if len(points) == 0:
         return points
-    keys = np.floor(points[:, :3] / voxel).astype(np.int64)
-    _, idx = np.unique(keys, axis=0, return_index=True)
-    return points[np.sort(idx)]
+    keys = np.floor((points[:, :3] - points[:, :3].min(0)) / voxel).astype(np.int64)
+    n = len(points)
+    _, idx = np.unique(keys[::-1], axis=0, return_index=True)
+    return points[np.sort(n - 1 - idx)]
 
 
-def smooth_points(points: np.ndarray, k: int = 10, std_factor: float = 2.0) -> np.ndarray:
-    """kNN density outlier removal (outline_utils.py:391)."""
-    if len(points) <= k:
+def smooth_points(points: np.ndarray, rad: float = 0.2) -> np.ndarray:
+    """Radius density outlier removal (outline_utils.py:391): keep points
+    with more than 3 neighbors (self included) within ``rad``."""
+    if len(points) == 0:
         return points
     tree = cKDTree(points[:, :3])
-    d, _ = tree.query(points[:, :3], k=min(k + 1, len(points)))
-    mean_d = d[:, 1:].mean(axis=1)
-    keep = mean_d < mean_d.mean() + std_factor * mean_d.std()
-    return points[keep]
+    num = tree.query_ball_point(points[:, :3], r=rad, return_length=True)
+    return points[num > 3]
 
 
 def compute_occupancy(points: np.ndarray, box: np.ndarray, parts: int) -> float:
-    """Fraction of occupied cells in a parts x parts BEV grid over the box."""
+    """Fraction of BEV cells over the box holding >= 2 points
+    (outline_utils.py:398 compute_confidence: ``len(this_pts) > 1``)."""
     if len(points) == 0:
         return 0.0
     rel = points[:, :2] - box[:2]
@@ -303,32 +323,33 @@ def compute_occupancy(points: np.ndarray, box: np.ndarray, parts: int) -> float:
     gx = np.floor((lx / max(box[3], 1e-3) + 0.5) * parts).astype(int)
     gy = np.floor((ly / max(box[4], 1e-3) + 0.5) * parts).astype(int)
     ok = (gx >= 0) & (gx < parts) & (gy >= 0) & (gy < parts)
-    occ = len(set(zip(gx[ok].tolist(), gy[ok].tolist())))
-    return occ / (parts * parts)
+    cell = gx[ok] * parts + gy[ok]
+    _, counts = np.unique(cell, return_counts=True)
+    return int((counts > 1).sum()) / (parts * parts)
 
 
 def hierarchical_occupancy_score(points: np.ndarray, box: np.ndarray,
-                                 parts=(9, 7, 5)) -> float:
+                                 parts=(7, 5, 3)) -> float:
     """Multi-Level Occupancy (MLO) score (outline_utils.py:438): mean
-    occupancy over several grid resolutions, normalized so half-occupied
-    (one visible side) maps near 1."""
-    scores = [min(compute_occupancy(points, box, p) * 2.0, 1.0) for p in parts]
-    return float(np.mean(scores))
+    occupancy over several grid resolutions (CSS passes MLOParts (9, 7, 5))."""
+    return float(np.mean([compute_occupancy(points, box, p) for p in parts]))
 
 
-def KL_entropy_score(size: np.ndarray, prior: np.ndarray, sigma=(0.4, 0.2, 0.2)) -> float:
-    """Size-prior agreement score (outline_utils.py:25): gaussian divergence
-    of (l, w, h) vs the class prior -> (0, 1]."""
-    size = np.asarray(size, np.float64)
-    prior = np.asarray(prior, np.float64)
-    d2 = ((size - prior) ** 2) / (2 * np.asarray(sigma) ** 2)
-    return float(np.exp(-np.mean(d2)))
+def KL_entropy_score(x: np.ndarray, y: np.ndarray, max_dif: float = 0.05) -> float:
+    """Size-prior agreement score (outline_utils.py:25): KL(x || y) of the
+    NORMALIZED size vectors, capped at ``max_dif`` and mapped to [0, 1]."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    kl = float(np.sum(x * np.log(x / y)))
+    kl = min(kl, max_dif)
+    return (max_dif - kl) / max_dif
 
 
-def distance_score(box: np.ndarray, max_dist: float = 75.0) -> float:
-    """Nearer objects are observed better (CSS distance term)."""
-    d = np.hypot(box[0], box[1])
-    return float(np.clip(1.0 - d / max_dist, 0.0, 1.0))
+def distance_score(box: np.ndarray, max_dist: float = 80.0) -> float:
+    """Nearer objects are observed better (c_proto_refine.py:23-27: 3D center
+    norm against CSSConfig.MaxDis)."""
+    d = float(np.linalg.norm(box[0:3]))
+    return 1.0 - min(d, max_dist) / max_dist
 
 
 def get_box_cls(box: np.ndarray, n_points: int = 100) -> str:

@@ -117,16 +117,22 @@ def test_voxel_sampling_and_smooth():
     assert len(out) == 2
     dense = np.random.default_rng(0).normal(0, 0.1, (100, 3))
     outlier = np.array([[10.0, 10, 10]])
-    sm = smooth_points(np.concatenate([dense, outlier]), k=5)
+    sm = smooth_points(np.concatenate([dense, outlier]), rad=0.2)
     assert len(sm) <= 100
+
+
+def _norm3(v):
+    v = np.asarray(v, float)
+    return v / v.sum()
 
 
 def test_scores():
     pts = box_surface_points(VEH, n=500)
-    mlo = hierarchical_occupancy_score(pts, VEH)
-    assert 0.3 < mlo <= 1.0
-    kl_good = KL_entropy_score(VEH[3:6], (4.7, 2.1, 1.7))
-    kl_bad = KL_entropy_score((1.0, 1.0, 1.0), (4.7, 2.1, 1.7))
+    mlo = hierarchical_occupancy_score(pts, VEH, (9, 7, 5))
+    assert 0.1 < mlo <= 1.0
+    # reference KL operates on NORMALIZED size vectors (c_proto_refine.py:32)
+    kl_good = KL_entropy_score(_norm3(VEH[3:6]), _norm3((4.7, 2.1, 1.7)))
+    kl_bad = KL_entropy_score(_norm3((1.0, 3.0, 0.2)), _norm3((4.7, 2.1, 1.7)))
     assert kl_good > 0.8 > kl_bad
 
 
