@@ -83,11 +83,36 @@ def iou3d_pair(a, b):
     return inter / max(va + vb - inter, 1e-6)
 
 
-def iou_matrix(dets, gts):
+def iou_bev_pair(a, b):
+    """Rotated BEV IoU (area overlap / area union) -- the official WOD
+    TYPE_2D box type (waymo_eval2d.py:101 ``box_type: TYPE_2D``)."""
+    if np.hypot(a[0] - b[0], a[1] - b[1]) > (np.hypot(a[3], a[4]) + np.hypot(b[3], b[4])) / 2:
+        return 0.0
+    o = _area(_clip(_corners_bev(a), _corners_bev(b)))
+    if o <= 0:
+        return 0.0
+    aa, ab = a[3] * a[4], b[3] * b[4]
+    return o / max(aa + ab - o, 1e-6)
+
+
+def iou2d_pair(a, b):
+    """Axis-aligned image-box IoU; boxes (x1, y1, x2, y2) (KITTI bbox AP)."""
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-6)
+
+
+_PAIR_FNS = {"3d": iou3d_pair, "bev": iou_bev_pair, "2d": iou2d_pair}
+
+
+def iou_matrix(dets, gts, metric: str = "3d"):
+    pair = _PAIR_FNS[metric]
     out = np.zeros((len(dets), len(gts)))
     for i, d in enumerate(dets):
         for j, g in enumerate(gts):
-            out[i, j] = iou3d_pair(d, g)
+            out[i, j] = pair(d, g)
     return out
 
 
@@ -95,9 +120,15 @@ def iou_matrix(dets, gts):
 # matching + AP
 # ---------------------------------------------------------------------------
 
-def match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, ignore_mask=None):
-    """Score-greedy one-to-one matching for one frame.
+def match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, ignore_mask=None,
+                matcher: str = "greedy", metric: str = "3d"):
+    """One-to-one det/gt matching for one frame.
 
+    ``matcher``:
+      * ``"greedy"`` -- score-descending greedy (the standard AP matcher).
+      * ``"hungarian"`` -- total-IoU-maximizing assignment over pairs with
+        IoU >= thresh (the official WOD estimator's TYPE_HUNGARIAN,
+        waymo_eval.py:178 / waymo_eval2d.py:95).
     ignore_mask: gts to exclude from the positive pool; a det matched to an
     ignored gt is neither TP nor FP. Returns (tp (D,), fp (D,), matched_gt (D,)).
     """
@@ -109,10 +140,23 @@ def match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, ignore_mask=None):
     if g == 0:
         fp[:] = True
         return tp, fp, matched_gt
-    iou = iou_matrix(det_boxes, gt_boxes)
+    iou = iou_matrix(det_boxes, gt_boxes, metric)
+    ignore_mask = ignore_mask if ignore_mask is not None else np.zeros(g, bool)
+    if matcher == "hungarian":
+        from scipy.optimize import linear_sum_assignment
+
+        gain = np.where(iou >= iou_thresh, iou, 0.0)
+        if d and g:
+            ri, cj = linear_sum_assignment(-gain)
+            for i, j in zip(ri, cj):
+                if iou[i, j] >= iou_thresh:
+                    matched_gt[i] = j
+                    if not ignore_mask[j]:
+                        tp[i] = True
+        fp[:] = (matched_gt < 0)
+        return tp, fp, matched_gt
     taken = np.zeros(g, bool)
     order = np.argsort(-np.asarray(det_scores))
-    ignore_mask = ignore_mask if ignore_mask is not None else np.zeros(g, bool)
     for i in order:
         cand = np.where((iou[i] >= iou_thresh) & ~taken)[0]
         if len(cand) == 0:
@@ -156,11 +200,19 @@ def average_precision(scores, tp, fp, num_gt, weights=None, n_points: int = 40):
 # ---------------------------------------------------------------------------
 
 WAYMO_IOU = {"Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+# the official 2D (BEV) estimator's thresholds (waymo_eval2d.py:95-101)
+WAYMO_IOU_BEV = {"Vehicle": 0.5, "Pedestrian": 0.3, "Cyclist": 0.3}
 
 
 def waymo_style_eval(det_annos: List[dict], gt_annos: List[dict],
-                     class_names: Sequence[str]):
-    """3D AP/APH at L1/L2 per class (protocol of waymo_eval.py:86-108).
+                     class_names: Sequence[str], matcher: str = "hungarian",
+                     metric: str = "3d", iou_overrides: Dict = None,
+                     key_suffix: str = ""):
+    """AP/APH at L1/L2 per class (protocol of waymo_eval.py:86-108).
+
+    ``matcher="hungarian"`` (default) matches the official WOD estimator's
+    TYPE_HUNGARIAN; ``metric="bev"`` with WAYMO_IOU_BEV thresholds gives the
+    waymo_eval2d protocol (see :func:`waymo_bev_eval`).
 
     det_annos[i]: {boxes_lidar (D, 7), score (D,), name (D,)}
     gt_annos[i]: {gt_boxes_lidar (G, 7[+]), name (G,), num_points_in_gt (G,),
@@ -168,8 +220,9 @@ def waymo_style_eval(det_annos: List[dict], gt_annos: List[dict],
     Returns (result_str, result_dict).
     """
     results = {}
+    iou_table = iou_overrides or WAYMO_IOU
     for cls in class_names:
-        iou_t = WAYMO_IOU.get(cls, 0.5)
+        iou_t = iou_table.get(cls, 0.5)
         all_scores, all_tp, all_fp, all_hacc = [], [], [], []
         # L1 pass: L2-only gts are "ignore"; L2 pass: all gts count
         l1_records = {"scores": [], "tp": [], "fp": [], "h": [], "ngt": 0}
@@ -186,7 +239,8 @@ def waymo_style_eval(det_annos: List[dict], gt_annos: List[dict],
             dif = dif[gm] if len(dif) == len(gm) else np.zeros(int(gm.sum()))
             is_l2_only = (npts <= 5) | (dif == 2)
             for rec, ignore in ((l1_records, is_l2_only), (l2_records, np.zeros(len(gboxes), bool))):
-                tp, fp, mg = match_frame(dboxes, dscores, gboxes, iou_t, ignore)
+                tp, fp, mg = match_frame(dboxes, dscores, gboxes, iou_t, ignore,
+                                         matcher=matcher, metric=metric)
                 # heading accuracy for APH
                 h = np.ones(len(dboxes))
                 for i in range(len(dboxes)):
@@ -206,10 +260,18 @@ def waymo_style_eval(det_annos: List[dict], gt_annos: List[dict],
             h = np.concatenate(rec["h"]) if rec["h"] else np.zeros(0)
             ap = average_precision(scores, tp, fp, rec["ngt"])
             aph = average_precision(scores, tp, fp, rec["ngt"], weights=h)
-            results[f"{cls}_{level}/AP"] = ap * 100
-            results[f"{cls}_{level}/APH"] = aph * 100
+            results[f"{cls}_{level}/AP{key_suffix}"] = ap * 100
+            results[f"{cls}_{level}/APH{key_suffix}"] = aph * 100
     lines = [f"{k}: {v:.4f}" for k, v in sorted(results.items())]
     return "\n".join(lines), results
+
+
+def waymo_bev_eval(det_annos, gt_annos, class_names, matcher: str = "hungarian"):
+    """The waymo_eval2d protocol: BEV (TYPE_2D) boxes, Hungarian matching,
+    IoU 0.5/0.3/0.3 (waymo_eval2d.py:87-111). Keys carry an ``_2D`` suffix."""
+    return waymo_style_eval(det_annos, gt_annos, class_names, matcher=matcher,
+                            metric="bev", iou_overrides=WAYMO_IOU_BEV,
+                            key_suffix="_2D")
 
 
 # ---------------------------------------------------------------------------
@@ -221,38 +283,102 @@ KITTI_IOU = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 KITTI_DIFFICULTY = {0: (0.15, 0, 40), 1: (0.3, 1, 25), 2: (0.5, 2, 25)}
 
 
+# official clean_data similar-class rules (kitti_object_eval_python/eval.py:87)
+KITTI_SIMILAR = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+KITTI_IOU_BBOX = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+
+
+def _kitti_gt_ignore(gt, gm, dlevel, cls):
+    """Per-gt ignore mask for one difficulty level, the official clean_data
+    rules (eval.py:58-110): truncation/occlusion/bbox-height gates when the
+    camera-protocol fields are present, else the precomputed 'difficulty'."""
+    n = int(gm.sum())
+    max_trunc, max_occ, min_h = KITTI_DIFFICULTY[dlevel]
+    if "bbox" in gt and len(np.asarray(gt["bbox"]).reshape(-1, 4)) == len(gm):
+        bbox = np.asarray(gt["bbox"]).reshape(-1, 4)[gm]
+        trunc = np.asarray(gt.get("truncated", np.zeros(len(gm))))[gm]
+        occ = np.asarray(gt.get("occluded", np.zeros(len(gm))))[gm]
+        h = bbox[:, 3] - bbox[:, 1]
+        return (trunc > max_trunc) | (occ > max_occ) | (h < min_h)
+    dif = np.asarray(gt.get("difficulty", np.zeros(n)))
+    dif = dif[gm] if len(dif) == len(gm) else np.zeros(n)
+    return dif > dlevel
+
+
 def kitti_style_eval(det_annos: List[dict], gt_annos: List[dict],
                      class_names: Sequence[str], n_points: int = 40):
-    """3D AP per class x difficulty (protocol of kitti_object_eval_python).
-
-    Uses lidar-frame boxes (boxes_lidar / gt_boxes_lidar); difficulty from the
-    gt 'difficulty' field when present, else all easy.
+    """AP per class x difficulty (protocol of kitti_object_eval_python
+    eval.py:650 ``do_eval``): 3D and BEV AP from the lidar-frame boxes, plus
+    2D bbox AP and AOS (orientation similarity over the 2D matching) when the
+    camera-protocol fields (bbox (N, 4), alpha (N,)) are present in both the
+    det and gt annotations. Similar classes (Van for Car, Person_sitting for
+    Pedestrian) and sub-threshold gts are ignored, not counted.
     """
     results = {}
+    names = ["easy", "moderate", "hard"]
+    have_bbox = (det_annos and gt_annos
+                 and "bbox" in det_annos[0] and "bbox" in gt_annos[0])
     for cls in class_names:
         iou_t = KITTI_IOU.get(cls, 0.5)
         for dlevel in (0, 1, 2):
-            scores_l, tp_l, fp_l, ngt = [], [], [], 0
+            recs = {m: {"s": [], "tp": [], "fp": [], "w": []}
+                    for m in ("3d", "bev", "2d", "aos")}
+            ngt = 0
             for det, gt in zip(det_annos, gt_annos):
                 dm = np.asarray(det["name"]) == cls
                 dboxes = np.asarray(det["boxes_lidar"]).reshape(-1, 7)[dm]
                 dscores = np.asarray(det["score"]).reshape(-1)[dm]
-                gm = np.asarray(gt["name"]) == cls
-                gboxes = np.asarray(gt["gt_boxes_lidar"]).reshape(-1, 7)[gm] if gm.any() else np.zeros((0, 7))
-                dif = np.asarray(gt.get("difficulty", np.zeros(int(gm.sum()))))
-                dif = dif[gm] if len(dif) == int(len(gm)) else np.zeros(len(gboxes))
-                ignore = dif > dlevel
-                tp, fp, _ = match_frame(dboxes, dscores, gboxes, iou_t, ignore)
-                scores_l.append(dscores)
-                tp_l.append(tp)
-                fp_l.append(fp)
+                gname = np.asarray(gt["name"])
+                gm = gname == cls
+                similar = np.isin(gname, KITTI_SIMILAR.get(cls, ()))
+                gall = gm | similar
+                gboxes = (np.asarray(gt["gt_boxes_lidar"]).reshape(-1, 7)[gall]
+                          if gall.any() else np.zeros((0, 7)))
+                ignore = _kitti_gt_ignore(gt, gall, dlevel, cls)
+                # similar-class gts are always ignore-matched
+                ignore = ignore | similar[gall]
                 ngt += int((~ignore).sum())
-            scores = np.concatenate(scores_l) if scores_l else np.zeros(0)
-            tp = np.concatenate(tp_l) if tp_l else np.zeros(0, bool)
-            fp = np.concatenate(fp_l) if fp_l else np.zeros(0, bool)
-            results[f"{cls}_3d/{['easy', 'moderate', 'hard'][dlevel]}_R{n_points}"] = (
-                average_precision(scores, tp, fp, ngt, n_points=n_points) * 100
-            )
+                for m in ("3d", "bev"):
+                    tp, fp, _ = match_frame(dboxes, dscores, gboxes, iou_t,
+                                            ignore, metric=m)
+                    recs[m]["s"].append(dscores)
+                    recs[m]["tp"].append(tp)
+                    recs[m]["fp"].append(fp)
+                if have_bbox:
+                    d2 = np.asarray(det["bbox"]).reshape(-1, 4)[dm]
+                    g2 = (np.asarray(gt["bbox"]).reshape(-1, 4)[gall]
+                          if gall.any() else np.zeros((0, 4)))
+                    t2 = KITTI_IOU_BBOX.get(cls, 0.5)
+                    tp, fp, mg = match_frame(d2, dscores, g2, t2, ignore,
+                                             metric="2d")
+                    recs["2d"]["s"].append(dscores)
+                    recs["2d"]["tp"].append(tp)
+                    recs["2d"]["fp"].append(fp)
+                    # AOS: (1 + cos(d_alpha)) / 2 on the 2D TPs (eval.py:325)
+                    da = np.asarray(det.get("alpha", np.zeros(len(dm))))[dm]
+                    ga = (np.asarray(gt.get("alpha", np.zeros(len(gname))))[gall]
+                          if gall.any() else np.zeros(0))
+                    w = np.zeros(len(dboxes))
+                    for i in range(len(dboxes)):
+                        if tp[i] and mg[i] >= 0:
+                            w[i] = (1.0 + np.cos(da[i] - ga[mg[i]])) / 2.0
+                    recs["aos"]["s"].append(dscores)
+                    recs["aos"]["tp"].append(tp)
+                    recs["aos"]["fp"].append(fp)
+                    recs["aos"]["w"].append(w)
+            for m, tag in (("3d", "3d"), ("bev", "bev"), ("2d", "bbox"),
+                           ("aos", "aos")):
+                if m in ("2d", "aos") and not have_bbox:
+                    continue
+                s = np.concatenate(recs[m]["s"]) if recs[m]["s"] else np.zeros(0)
+                tp = np.concatenate(recs[m]["tp"]) if recs[m]["tp"] else np.zeros(0, bool)
+                fp = np.concatenate(recs[m]["fp"]) if recs[m]["fp"] else np.zeros(0, bool)
+                w = (np.concatenate(recs[m]["w"])
+                     if m == "aos" and recs[m]["w"] else None)
+                results[f"{cls}_{tag}/{names[dlevel]}_R{n_points}"] = (
+                    average_precision(s, tp, fp, ngt, weights=w,
+                                      n_points=n_points) * 100
+                )
     lines = [f"{k}: {v:.4f}" for k, v in sorted(results.items())]
     return "\n".join(lines), results
 

@@ -227,3 +227,81 @@ def test_waymo_dataset_multiframe(synthetic_sequence):
     uniq = np.unique(np.round(times.astype(np.float64), 2))
     assert np.all(np.isin(uniq, [0.0, -0.1, -0.2])), uniq
     assert (times < 0).sum() > 0  # past frames present
+
+
+def test_greedy_vs_hungarian_agreement_and_tie_cases():
+    """The matcher-fidelity check (VERDICT): both matchers within 0.1 AP on a
+    random suite, and on an adversarial tie layout Hungarian recovers the
+    assignment greedy forfeits."""
+    from cpd_tpu.evaluation.ap import match_frame, waymo_style_eval
+
+    # random suite: deltas must be tiny
+    for seed in range(4):
+        dets, gts = _mk_annos(perfect=True, seed=seed)
+        _, rg = waymo_style_eval(dets, gts, ["Vehicle"], matcher="greedy")
+        _, rh = waymo_style_eval(dets, gts, ["Vehicle"], matcher="hungarian")
+        for k in rg:
+            assert abs(rg[k] - rh[k]) < 0.1, (seed, k, rg[k], rh[k])
+
+    # adversarial: det0 (higher score) overlaps both gts, better with gt1;
+    # det1 only overlaps gt1. Greedy gives det0->gt1 and det1 unmatched;
+    # Hungarian assigns det0->gt0, det1->gt1 (2 TPs).
+    g0 = np.array([0.0, 0, 0, 4, 2, 1.6, 0])
+    g1 = np.array([3.0, 0, 0, 4, 2, 1.6, 0])
+    d0 = np.array([2.0, 0, 0, 4, 2, 1.6, 0])   # IoU ~0.33 with g0, ~0.6 with g1
+    d1 = np.array([3.2, 0, 0, 4, 2, 1.6, 0])   # IoU high with g1 only
+    dets = np.stack([d0, d1])
+    scores = np.array([0.9, 0.8])
+    gts_b = np.stack([g0, g1])
+    tp_g, fp_g, _ = match_frame(dets, scores, gts_b, 0.3, matcher="greedy")
+    tp_h, fp_h, _ = match_frame(dets, scores, gts_b, 0.3, matcher="hungarian")
+    assert tp_g.sum() == 1 and tp_h.sum() == 2
+
+
+def test_waymo_bev_eval_keys():
+    from cpd_tpu.evaluation.ap import waymo_bev_eval
+
+    dets, gts = _mk_annos(perfect=True)
+    # z offsets must NOT matter for the BEV protocol
+    for d in dets:
+        d["boxes_lidar"][:, 2] += 5.0
+    _, r = waymo_bev_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_L2/AP_2D"] > 99.0
+
+
+def test_kitti_bbox_bev_aos():
+    dets, gts = _mk_annos(perfect=True)
+    rng = np.random.default_rng(0)
+    for det, gt in zip(dets, gts):
+        n = len(gt["name"])
+        bbox = np.stack([rng.uniform(0, 800, n), rng.uniform(0, 300, n),
+                         np.zeros(n), np.zeros(n)], 1)
+        bbox[:, 2] = bbox[:, 0] + rng.uniform(60, 120, n)
+        bbox[:, 3] = bbox[:, 1] + rng.uniform(50, 90, n)
+        alpha = rng.uniform(-np.pi, np.pi, n)
+        gt["bbox"] = bbox
+        gt["alpha"] = alpha
+        gt["truncated"] = np.zeros(n)
+        gt["occluded"] = np.zeros(n, np.int64)
+        det["bbox"] = bbox.copy()
+        det["alpha"] = alpha.copy()
+    _, r = kitti_style_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_bbox/moderate_R40"] > 99.0
+    assert r["Vehicle_bev/moderate_R40"] > 99.0
+    assert r["Vehicle_aos/moderate_R40"] > 99.0
+    # wrong alpha tanks AOS but not bbox AP
+    for det in dets:
+        det["alpha"] = det["alpha"] + np.pi
+    _, r2 = kitti_style_eval(dets, gts, ["Vehicle"])
+    assert r2["Vehicle_bbox/moderate_R40"] > 99.0
+    assert r2["Vehicle_aos/moderate_R40"] < 5.0
+
+
+def test_kitti_similar_class_and_height_gates():
+    dets, gts = _mk_annos(perfect=True)
+    # relabel one gt per frame as Van: must be ignored for Car, not FP-matched
+    for det, gt in zip(dets, gts):
+        gt["name"] = np.asarray(["Car"] * (len(gt["name"]) - 1) + ["Van"])
+        det["name"] = np.asarray(["Car"] * len(det["name"]))
+    _, r = kitti_style_eval(dets, gts, ["Car"])
+    assert r["Car_3d/moderate_R40"] > 99.0
