@@ -2,14 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference (hailanyi/CPD, 4x RTX 3090, PyTorch+spconv)
-publishes no throughput (BASELINE.md). We use an ESTIMATED reference
-inference rate of 10 frames/sec/GPU for a VoxelRCNN-class two-stage detector
-at Waymo scale (batch 4/GPU training, ~2.5 it/s typical for this family on a
-3090); vs_baseline = our frames/sec/chip divided by that estimate. The
-north-star target is >= 5.0.
+Baseline derivation (the reference publishes no throughput, BASELINE.md):
+the reference detector is a Voxel R-CNN variant; Voxel R-CNN reports
+25.2 FPS on KITTI frames on an RTX 2080 Ti (Deng et al., "Voxel R-CNN",
+AAAI 2021, Table 6). CPD runs the same architecture at Waymo scale --
+1504x1504x40 grid / ~150k voxels vs KITTI's 1408x1600x40 / ~16k voxels, a
+~5-8x larger sparse workload -- plus the larger 150-proposal second stage,
+on an RTX 3090 (~1.5x a 2080 Ti). 25.2 x 1.5 / 6.5 / 1.2 ~= 4.8, rounded up
+generously to 10 frames/s/GPU as a conservative (hard-to-beat) baseline.
+``vs_baseline`` = our frames/sec/chip divided by 10; north star >= 5.0.
+
+Caps: this bench runs the MODEL-DEFAULT voxel caps (80k, 60k, 40k, 40k)
+(detector.py backbone_caps) and asserts none of the backbone stages
+saturates its cap on the 200k-point synthetic frame, so the measured number
+carries no silent accuracy loss from truncation.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,7 +36,7 @@ def main():
         point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
         voxel_size=(0.1, 0.1, 0.15),
         max_voxels=150_000,
-        backbone_caps=(80_000, 40_000, 20_000, 20_000),
+        backbone_caps=(80_000, 60_000, 40_000, 40_000),  # model defaults
         mm=False,
         num_rois=500,
         num_rois_test=200,
@@ -58,6 +67,29 @@ def main():
         # force a readback: block_until_ready does not synchronize under the
         # axon-tunneled TPU runtime
         np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
+    # cap-occupancy audit: no backbone stage may saturate its cap on this
+    # frame (a saturated cap would buy throughput with silent truncation)
+    from cpd_tpu.models.backbone3d import build_branch_rulebooks
+    from cpd_tpu.models.detector import keys_from_frame
+    from cpd_tpu.ops.voxelizer import VoxelizerSpec, voxelize_batch
+
+    spec = VoxelizerSpec.create(model.point_cloud_range, model.voxel_size,
+                                model.max_voxels)
+    frame = voxelize_batch(batch["points"], spec, batch["points_valid"])
+    from cpd_tpu.ops.sparse import GridSpec
+
+    grid = GridSpec(spec.grid_size[0], spec.grid_size[1], spec.grid_size[2] + 1)
+    keys = keys_from_frame(frame, grid)
+    rbs = jax.jit(lambda k: build_branch_rulebooks(
+        k, grid, model.backbone_caps))(keys)
+    occ = {name: int(np.asarray(rbs[name].out_valid.sum()))
+           for name in ("down2", "down3", "down4", "conv_out")}
+    caps = dict(zip(("down2", "down3", "down4", "conv_out"), model.backbone_caps))
+    print(f"stage occupancy / cap: "
+          f"{ {k: (occ[k], caps[k]) for k in occ} }", file=sys.stderr)
+    for k in occ:
+        assert occ[k] < caps[k], f"cap saturated at {k}: {occ[k]}/{caps[k]}"
 
     out = predict(variables, batch)
     sync(out)  # compile + warmup
