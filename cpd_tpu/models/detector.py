@@ -24,10 +24,25 @@ from ..ops import nms as nms_ops
 from ..ops import sparse
 from ..ops.sparse import GridSpec
 from ..ops.voxelizer import VoxelizerSpec, voxelize_batch
-from .backbone3d import VoxelResBackBone8x, stage_grids
+from .anchor_head import (AnchorHeadSingle, AnchorHeadSingleV2,
+                          point_density_anchor_mask)
+from .backbone3d import VoxelBackBone8x, VoxelResBackBone8x, stage_grids
 from .bev import BaseBEVBackbone, height_compression
 from .center_head import CenterHead
 from .roi_head import VoxelRCNNProtoHead
+
+_DENSE_HEADS = {
+    "CenterHead": CenterHead,
+    "AnchorHeadSingle": AnchorHeadSingle,
+    "AnchorHeadSingleV2": AnchorHeadSingleV2,
+}
+_BACKBONES_3D = {
+    "VoxelResBackBone8x": VoxelResBackBone8x,
+    "VoxelBackBone8x": VoxelBackBone8x,
+}
+# VoxelRCNNHead is the ProtoHead with the MM/proto branch disabled
+# (voxel_rcnn_head.py: same pooling/towers; CPD adds the second branch)
+_ROI_HEADS = {"VoxelRCNNProtoHead": True, "VoxelRCNNHead": False}
 
 
 def keys_from_frame(frame, grid: GridSpec):
@@ -45,6 +60,10 @@ class VoxelRCNN(nn.Module):
     voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.15)
     max_voxels: int = 150000
     num_point_features: int = 5
+    # spconv MeanVFE parity: 5 = first-5-points-per-voxel mean (reference
+    # semantics, needed for imported cpd_pretrained checkpoints); None = mean
+    # over ALL points in the voxel (TPU-native default)
+    max_points_per_voxel: Any = None
     backbone_filters: Tuple[int, ...] = (16, 32, 64, 128)
     backbone_caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = True
@@ -63,29 +82,51 @@ class VoxelRCNN(nn.Module):
     # NMS configs (RPN proposals / final post-processing)
     rpn_nms: Any = None  # dict like {'NMS_THRESH':0.8,...}; None = defaults
     post_nms: Any = None
+    # NAME-driven module topology (detector3d_template.py:22-217): the module
+    # of each slot is chosen by its config NAME
+    backbone3d_name: str = "VoxelResBackBone8x"
+    backbone_lut_max_cells: Any = None  # BACKBONE_3D.LUT_MAX_CELLS
+    dense_head_name: str = "CenterHead"
+    roi_head_name: str = "VoxelRCNNProtoHead"
+    dense_head_cfg: Any = None  # extra kwargs for anchor heads (sizes, thresholds...)
+    roi_head_cfg: Any = None    # extra kwargs (TARGET_CONFIG thresholds, proto weights)
 
     def setup(self):
         self.vox_spec = VoxelizerSpec.create(
-            self.point_cloud_range, self.voxel_size, self.max_voxels
+            self.point_cloud_range, self.voxel_size, self.max_voxels,
+            max_points_per_voxel=self.max_points_per_voxel,
         )
         nx, ny, nz = self.vox_spec.grid_size
         # spconv convention: +1 on z so the encoder bottoms out at depth 2
         self.grid = GridSpec(nx, ny, nz + 1)
-        self.backbone = VoxelResBackBone8x(
+        b3d_cls = _BACKBONES_3D[self.backbone3d_name]
+        b3d_kwargs = dict(
             grid=self.grid,
             num_filters=self.backbone_filters,
             caps=self.backbone_caps,
             mm=self.mm,
-            remat=self.remat,
             bn_axis_name=self.bn_axis_name,
+            lut_max_cells=self.backbone_lut_max_cells,
         )
+        if b3d_cls is VoxelResBackBone8x:
+            b3d_kwargs["remat"] = (self.remat if self.remat_backbone is None
+                                   else self.remat_backbone)
+        self.backbone = b3d_cls(**b3d_kwargs)
         self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
-        self.dense_head = CenterHead(
-            num_classes=self.num_classes,
-            voxel_size=self.voxel_size,
-            point_cloud_range=self.point_cloud_range,
-            bn_axis_name=self.bn_axis_name,
-        )
+        head_cls = _DENSE_HEADS[self.dense_head_name]
+        if head_cls is CenterHead:
+            self.dense_head = CenterHead(
+                num_classes=self.num_classes,
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                bn_axis_name=self.bn_axis_name,
+            )
+        else:
+            self.dense_head = head_cls(
+                num_classes=self.num_classes,
+                point_cloud_range=self.point_cloud_range,
+                **dict(self.dense_head_cfg or {}),
+            )
         if self.with_roi_head:
             self.roi_head = VoxelRCNNProtoHead(
                 num_rois=self.num_rois,
@@ -93,10 +134,15 @@ class VoxelRCNN(nn.Module):
                 grid_size=self.roi_grid_size,
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
-                mm=self.mm,
+                mm=self.mm and _ROI_HEADS[self.roi_head_name],
                 remat=self.remat if self.remat_roi is None else self.remat_roi,
                 scale_grids=stage_grids(self.grid),
+                **dict(self.roi_head_cfg or {}),
             )
+
+    @property
+    def _anchor_head(self) -> bool:
+        return self.dense_head_name != "CenterHead"
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         """batch: points (B, P, C), points_valid (B, P); train additionally
@@ -117,22 +163,31 @@ class VoxelRCNN(nn.Module):
         enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
         bev = height_compression(enc_feats, enc_keys, enc_grid)
         st_features_2d = self.bev_backbone(bev, train)
-        head_preds = self.dense_head(st_features_2d, train)
+        n_rois = self.num_rois if train else self.num_rois_test
+        rpn_nms = dict(self.rpn_nms or {
+            "NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096,
+        })
+        rpn_nms["NMS_POST_MAXSIZE"] = n_rois
+        if self._anchor_head:
+            h, w = st_features_2d.shape[1:3]
+            amask = point_density_anchor_mask(
+                batch["points"], batch.get("points_valid"), (h, w),
+                self.point_cloud_range, self.grid.nx,
+            )
+            head_preds = self.dense_head(st_features_2d, train, amask)
+            proposals = self._anchor_proposals(head_preds, n_rois, rpn_nms)
+        else:
+            head_preds = self.dense_head(st_features_2d, train)
+            proposals = self.dense_head.generate_predicted_boxes(
+                head_preds, k=500, score_thresh=0.0 if train else 0.1,
+                nms_cfg=rpn_nms, post_max_size=n_rois,
+            )
 
         out = {
             "head_preds": head_preds,
             "backbone_out": backbone_out,
             "bev_grid": enc_grid,
         }
-        n_rois = self.num_rois if train else self.num_rois_test
-        rpn_nms = dict(self.rpn_nms or {
-            "NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 4096,
-        })
-        rpn_nms["NMS_POST_MAXSIZE"] = n_rois
-        proposals = self.dense_head.generate_predicted_boxes(
-            head_preds, k=500, score_thresh=0.0 if train else 0.1,
-            nms_cfg=rpn_nms, post_max_size=n_rois,
-        )
         # proposals are constants to the second stage (reference proposal_layer
         # runs under no_grad, roi_head_template.py:52); RPN learns via its own loss
         proposals = jax.tree_util.tree_map(jax.lax.stop_gradient, proposals)
@@ -144,15 +199,41 @@ class VoxelRCNN(nn.Module):
             out.update(roi_out)
         return out
 
+    def _anchor_proposals(self, preds, n_rois, nms_cfg):
+        """Anchor-head proposal layer: decode + class-agnostic NMS -> fixed-size
+        roi set (roi_head_template.py proposal_layer semantics)."""
+        boxes, scores = self.dense_head.generate_predicted_boxes(preds)
+        best = jnp.max(scores, axis=-1)
+        labels = (jnp.argmax(scores, axis=-1) + 1).astype(jnp.int32)
+        pre = min(int(nms_cfg.get("NMS_PRE_MAXSIZE", 4096)), boxes.shape[1])
+
+        def one(b, s, l):
+            ts, ti = jax.lax.top_k(s, pre)
+            bb, ll = b[ti], l[ti]
+            idx, mask = nms_ops.nms_bev(
+                bb, ts, thresh=nms_cfg["NMS_THRESH"],
+                pre_max_size=pre, post_max_size=n_rois,
+                valid=ts > 0.0,
+                fast=bool(nms_cfg.get("USE_FAST_NMS", True)),
+            )
+            return bb[idx], ts[idx], ll[idx], mask
+
+        rb, rs, rl, rv = jax.vmap(one)(boxes, best, labels)
+        return {"rois": rb, "roi_scores": rs, "roi_labels": rl, "roi_valid": rv}
+
     # ---- losses ---------------------------------------------------------
 
     def compute_loss(self, out, batch):
-        """Total training loss = CenterHead loss + ProtoHead loss (voxel_rcnn.py:29)."""
-        h, w = out["head_preds"]["hm"].shape[1:3]
-        targets = self.dense_head.assign_targets(
-            batch["gt_boxes"], batch["gt_valid"], (h, w)
-        )
-        rpn_loss, tb = self.dense_head.get_loss(out["head_preds"], targets)
+        """Total training loss = dense-head loss + RoI-head loss (voxel_rcnn.py:29)."""
+        if self._anchor_head:
+            rpn_loss, tb = self.dense_head.get_loss(
+                out["head_preds"], batch["gt_boxes"], batch["gt_valid"])
+        else:
+            h, w = out["head_preds"]["hm"].shape[1:3]
+            targets = self.dense_head.assign_targets(
+                batch["gt_boxes"], batch["gt_valid"], (h, w)
+            )
+            rpn_loss, tb = self.dense_head.get_loss(out["head_preds"], targets)
         total = rpn_loss
         if self.with_roi_head and "rcnn_cls" in out:
             rcnn_loss, tb2 = self.roi_head.get_loss(out, batch)
@@ -212,9 +293,73 @@ from .centerpoint import CenterPoint  # noqa: E402  (after VoxelRCNN to avoid cy
 _DETECTORS = {"VoxelRCNN": VoxelRCNN, "CenterPoint": CenterPoint}
 
 
+def _anchor_head_cfg(dh):
+    """DENSE_HEAD yaml -> AnchorHeadSingle(/V2) kwargs
+    (anchor_generator.py + anchor_head_template.py config schema)."""
+    gen = dh.get("ANCHOR_GENERATOR_CONFIG", None)
+    cfg = {}
+    if gen:
+        cfg["anchor_sizes"] = tuple(tuple(g["anchor_sizes"][0]) for g in gen)
+        cfg["anchor_rotations"] = tuple(gen[0].get("anchor_rotations", (0, 1.57)))
+        cfg["matched_thresholds"] = tuple(float(g["matched_threshold"]) for g in gen)
+        cfg["unmatched_thresholds"] = tuple(float(g["unmatched_threshold"]) for g in gen)
+    if "DIR_OFFSET" in dh:
+        cfg["dir_offset"] = float(dh["DIR_OFFSET"])
+    if "DIR_LIMIT_OFFSET" in dh:
+        cfg["dir_limit_offset"] = float(dh["DIR_LIMIT_OFFSET"])
+    if "NUM_DIR_BINS" in dh:
+        cfg["num_dir_bins"] = int(dh["NUM_DIR_BINS"])
+    lw = dh.get("LOSS_CONFIG", {}).get("LOSS_WEIGHTS", {})
+    for yk, k in (("cls_weight", "cls_weight"), ("loc_weight", "loc_weight"),
+                  ("dir_weight", "dir_weight")):
+        if yk in lw:
+            cfg[k] = float(lw[yk])
+    if "code_weights" in lw:
+        cfg["code_weights"] = tuple(float(x) for x in lw["code_weights"])
+    return cfg
+
+
+def _roi_head_cfg(roi):
+    """ROI_HEAD yaml TARGET_CONFIG/LOSS_CONFIG -> VoxelRCNNProtoHead kwargs."""
+    cfg = {}
+    t = roi.get("TARGET_CONFIG", {})
+    for yk, k in (("FG_RATIO", "fg_ratio"), ("REG_FG_THRESH", "reg_fg_thresh"),
+                  ("CLS_FG_THRESH", "cls_fg_thresh"), ("CLS_BG_THRESH", "cls_bg_thresh"),
+                  ("CLS_BG_THRESH_LO", "cls_bg_thresh_lo"),
+                  ("HARD_BG_RATIO", "hard_bg_ratio"),
+                  ("HARD_SAMPLING_THRESH", "hard_sampling_thresh"),
+                  ("HARD_SAMPLING_RATIO", "hard_sampling_ratio"),
+                  ("DIRECTION_MIN", "direction_min"),
+                  ("DIRECTION_MAX", "direction_max")):
+        if yk in t:
+            v = t[yk]
+            cfg[k] = tuple(float(x) for x in v) if isinstance(v, (list, tuple)) else float(v)
+    if "CLS_SCORE_TYPE" in t:
+        cfg["cls_score_type"] = str(t["CLS_SCORE_TYPE"])
+    if "ENABLE_HARD_SAMPLING" in t:
+        cfg["enable_hard_sampling"] = bool(t["ENABLE_HARD_SAMPLING"])
+    lw = roi.get("LOSS_CONFIG", {}).get("LOSS_WEIGHTS", {})
+    if "rcnn_proto_weight" in lw:
+        cfg["rcnn_proto_weight"] = float(lw["rcnn_proto_weight"])
+    gp = roi.get("ROI_GRID_POOL", {})
+    if "USE_LUT" in gp:
+        cfg["pool_use_lut"] = bool(gp["USE_LUT"])
+    if "LUT_MAX_CELLS" in gp:
+        cfg["pool_lut_max_cells"] = int(gp["LUT_MAX_CELLS"])
+    if "DP_RATIO" in roi:
+        cfg["dp_ratio"] = float(roi["DP_RATIO"])
+    if "SHARED_FC" in roi:
+        cfg["shared_fc"] = tuple(int(x) for x in roi["SHARED_FC"])
+    return cfg
+
+
 def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
     """Config-driven detector factory (parity: cpd/models/__init__.py:9).
 
+    NAME-driven module topology (detector3d_template.py:22-217): the
+    BACKBONE_3D / DENSE_HEAD / ROI_HEAD modules are chosen by their yaml NAME
+    (VFE is the fused on-device voxelizer; MAP_TO_BEV / BACKBONE_2D have one
+    production implementation each, matching the shipped CPD configs).
     model_cfg/data_cfg: ConfigDicts with the reference YAML schema.
     """
     name = model_cfg.get("NAME", "VoxelRCNN")
@@ -227,12 +372,24 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
     voxel_size = tuple(vox_cfg["VOXEL_SIZE"]) if vox_cfg else (0.1, 0.1, 0.15)
     max_voxels = int(vox_cfg["MAX_NUMBER_OF_VOXELS"]["train"]) if vox_cfg else 150000
     b3d = model_cfg.get("BACKBONE_3D", {})
+    dh = model_cfg.get("DENSE_HEAD", {})
     roi = model_cfg.get("ROI_HEAD", None)
-    dense_post = model_cfg.get("DENSE_HEAD", {}).get("POST_PROCESSING", {})
+    dense_name = dh.get("NAME", "CenterHead")
+    if dense_name not in _DENSE_HEADS:
+        raise KeyError(f"unknown DENSE_HEAD.NAME {dense_name!r}; "
+                       f"known: {sorted(_DENSE_HEADS)}")
+    b3d_name = b3d.get("NAME", "VoxelResBackBone8x")
+    if b3d_name not in _BACKBONES_3D:
+        raise KeyError(f"unknown BACKBONE_3D.NAME {b3d_name!r}; "
+                       f"known: {sorted(_BACKBONES_3D)}")
+    roi_name = roi.get("NAME", "VoxelRCNNProtoHead") if roi else "VoxelRCNNProtoHead"
+    if roi is not None and roi_name not in _ROI_HEADS:
+        raise KeyError(f"unknown ROI_HEAD.NAME {roi_name!r}; known: {sorted(_ROI_HEADS)}")
+    dense_post = dh.get("POST_PROCESSING", {})
     default_caps = (max(max_voxels // 2, 1024),) + tuple(
         max(max_voxels // d, 512) for d in (4, 8, 8)
     )
-    return cls(
+    kwargs = dict(
         num_classes=num_class,
         point_cloud_range=pcr,
         voxel_size=voxel_size,
@@ -240,6 +397,19 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
         backbone_filters=tuple(b3d.get("NUM_FILTERS", (16, 32, 64, 128))),
         backbone_caps=tuple(b3d.get("VOXEL_CAPS", default_caps)),
         mm=bool(b3d.get("MM", False)),
+        # VFE.SPCONV_PARITY opts into the reference's first-5-points-per-voxel
+        # mean (data_processor.py MAX_POINTS_PER_VOXEL + mean_vfe.py)
+        max_points_per_voxel=(
+            int(vox_cfg.get("MAX_POINTS_PER_VOXEL", 5))
+            if vox_cfg and model_cfg.get("VFE", {}).get("SPCONV_PARITY", False)
+            else None),
+        backbone3d_name=b3d_name,
+        backbone_lut_max_cells=(int(b3d["LUT_MAX_CELLS"])
+                                if "LUT_MAX_CELLS" in b3d else None),
+        dense_head_name=dense_name,
+        dense_head_cfg=_anchor_head_cfg(dh) if dense_name != "CenterHead" else None,
+        roi_head_name=roi_name,
+        roi_head_cfg=_roi_head_cfg(roi) if roi else None,
         with_roi_head=roi is not None,
         num_rois=int(roi.get("NMS_CONFIG", {}).get("TRAIN", {}).get("NMS_POST_MAXSIZE", 500)) if roi else 500,
         num_rois_test=int(roi.get("NMS_CONFIG", {}).get("TEST", {}).get("NMS_POST_MAXSIZE", 200)) if roi else 200,
@@ -248,3 +418,9 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
         rpn_nms=dict(dense_post.get("NMS_CONFIG", {})) or None,
         post_nms=dict(model_cfg.get("POST_PROCESSING", {}).get("NMS_CONFIG", {})) or None,
     )
+    # detectors expose different field subsets (e.g. CenterPoint has no roi
+    # head); keep only the fields the chosen class declares
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items() if k in known})

@@ -46,6 +46,20 @@ def _rank_by_random(mask, rng):
     return jnp.where(mask, ranks, n)
 
 
+def _ang_similarity(a, b):
+    """1 - wrapped|a-b|/pi in [0, 1] (proposal_target_layer.py ang_weight)."""
+    d = jnp.abs(a - b) % (2 * jnp.pi)
+    d = jnp.minimum(d, 2 * jnp.pi - d)
+    return 1.0 - d / jnp.pi
+
+
+def _per_class(value, gt_cls):
+    """Scalar or per-class tuple -> per-roi values keyed by gt class (1-based)."""
+    if isinstance(value, (tuple, list)):
+        return jnp.asarray(value)[jnp.clip(gt_cls - 1, 0, len(value) - 1)]
+    return jnp.full(gt_cls.shape, float(value))
+
+
 def sample_rois_for_rcnn(
     rng,
     rois,  # (R, 7)
@@ -57,13 +71,28 @@ def sample_rois_for_rcnn(
     css_score,  # (N,) per-gt CSS weight
     roi_per_image: int = 130,
     fg_ratio: float = 0.5,
-    reg_fg_thresh: float = 0.3,
-    cls_fg_thresh: float = 0.6,
-    cls_bg_thresh: float = 0.02,
+    reg_fg_thresh=0.3,
+    cls_fg_thresh=0.6,
+    cls_bg_thresh=0.02,
     cls_bg_thresh_lo: float = 0.01,
     hard_bg_ratio: float = 0.1,
+    cls_score_type: str = "roi_iou",
+    direction_min: float = 0.4,
+    direction_max: float = 0.8,
+    enable_hard_sampling: bool = False,
+    hard_sampling_thresh=0.3,
+    hard_sampling_ratio=0.3,
 ):
     """Static-shape fg/bg RoI sampling with per-class IoU matching.
+
+    ``cls_score_type`` implements every reference variant
+    (proposal_target_layer.py:85-163): ``cls`` (hard labels, interval
+    ignored as -1), ``roi_iou`` (soft IoU labels), ``roi_ioud`` (soft IoU x
+    normalized heading similarity), and the per-class-threshold ``roi_iou_x``
+    / ``roi_ioud_x`` (thresholds given as tuples). ``enable_hard_sampling``
+    adds sub-REG_FG_THRESH rois above HARD_SAMPLING_THRESH to the regression
+    pool at HARD_SAMPLING_RATIO (Bernoulli here; the reference picks a
+    random-phase stride with the same marginal rate, :64-77).
 
     Returns dict of (roi_per_image,)-shaped arrays: rois, gt_of_rois (8),
     roi_ious, roi_labels, reg_valid_mask, cls_labels, css, valid.
@@ -75,12 +104,15 @@ def sample_rois_for_rcnn(
     gt_idx = jnp.argmax(iou, axis=1)
     max_iou = jnp.clip(max_iou, min=0.0)
 
-    fg_thresh = min(reg_fg_thresh, cls_fg_thresh)
+    def _minval(v):
+        return min(v) if isinstance(v, (tuple, list)) else v
+
+    fg_thresh = min(_minval(reg_fg_thresh), _minval(cls_fg_thresh))
     fg = roi_valid & (max_iou >= fg_thresh)
     easy_bg = roi_valid & (max_iou < cls_bg_thresh_lo)
     hard_bg = roi_valid & (max_iou >= cls_bg_thresh_lo) & (max_iou < fg_thresh)
 
-    k_fg, k_hard, k_easy, k_fill, k_prio = jax.random.split(rng, 5)
+    k_fg, k_hard, k_easy, k_fill, k_prio, k_hs = jax.random.split(rng, 6)
     fg_rank = _rank_by_random(fg, k_fg)
     hard_rank = _rank_by_random(hard_bg, k_hard)
     easy_rank = _rank_by_random(easy_bg, k_easy)
@@ -120,10 +152,32 @@ def sample_rois_for_rcnn(
     s_gt = gt_boxes[s_gt_idx]
     s_labels = roi_labels[sel_idx]
     s_css = css_score[s_gt_idx]
-    reg_valid = (s_iou >= reg_fg_thresh) & sel_valid
-    # soft IoU-based cls labels (proposal_target_layer.py:100-163)
-    soft = jnp.clip((s_iou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh), 0.0, 1.0)
-    cls_labels = jnp.where(sel_valid, soft, 0.0)
+    gt_cls = s_gt[:, 7].astype(jnp.int32)
+    reg_thr = _per_class(reg_fg_thresh, gt_cls)
+    reg_valid = (s_iou >= reg_thr) & sel_valid
+    if enable_hard_sampling:
+        hs_thr = _per_class(hard_sampling_thresh, gt_cls)
+        hs_ratio = _per_class(hard_sampling_ratio, gt_cls)
+        hard = (s_iou < reg_thr) & (s_iou > hs_thr)
+        pick = jax.random.uniform(k_hs, s_iou.shape) < hs_ratio
+        reg_valid = reg_valid | (hard & pick & sel_valid)
+    # cls labels (proposal_target_layer.py:85-163 CLS_SCORE_TYPE variants)
+    fg_t = _per_class(cls_fg_thresh, gt_cls)
+    bg_t = _per_class(cls_bg_thresh, gt_cls)
+    if cls_score_type == "cls":
+        cls_labels = jnp.where(s_iou > fg_t, 1.0, 0.0)
+        interval = (s_iou <= fg_t) & (s_iou > bg_t)
+        cls_labels = jnp.where(interval, -1.0, cls_labels)
+    else:
+        soft = (s_iou - bg_t) / (fg_t - bg_t)
+        cls_labels = jnp.where(s_iou > fg_t, 1.0,
+                               jnp.where(s_iou < bg_t, 0.0, soft))
+        if cls_score_type in ("roi_ioud", "roi_ioud_x"):
+            ang = _ang_similarity(s_rois[:, 6], s_gt[:, 6])
+            ang = (jnp.clip(ang, direction_min, direction_max)
+                   - direction_min) / (direction_max - direction_min)
+            cls_labels = cls_labels * ang
+    cls_labels = jnp.where(sel_valid, cls_labels, 0.0)
     return {
         "rois": s_rois,
         "gt_of_rois": s_gt,
@@ -304,13 +358,20 @@ class VoxelRCNNProtoHead(nn.Module):
     proto_ramp_steps: int = 5000
     proto_weight: float = 0.2          # ramp end value (voxel_rcnn_head.py:431-433)
     rcnn_proto_weight: float = 1.0     # LOSS_WEIGHTS['rcnn_proto_weight']
-    # TARGET_CONFIG (proposal_target_layer.py; defaults = cproto_center yaml)
+    # TARGET_CONFIG (proposal_target_layer.py; defaults = cproto_center yaml;
+    # thresholds may be per-class tuples for the *_x CLS_SCORE_TYPEs)
     fg_ratio: float = 0.5
-    reg_fg_thresh: float = 0.3
-    cls_fg_thresh: float = 0.6
-    cls_bg_thresh: float = 0.02
+    reg_fg_thresh: Any = 0.3
+    cls_fg_thresh: Any = 0.6
+    cls_bg_thresh: Any = 0.02
     cls_bg_thresh_lo: float = 0.01
     hard_bg_ratio: float = 0.1
+    cls_score_type: str = "roi_iou"
+    direction_min: float = 0.4
+    direction_max: float = 0.8
+    enable_hard_sampling: bool = False
+    hard_sampling_thresh: Any = 0.3
+    hard_sampling_ratio: Any = 0.3
     # LUT tuning (ROI_GRID_POOL.{USE_LUT, LUT_MAX_CELLS}); None = pool defaults
     pool_use_lut: Any = None
     pool_lut_max_cells: Any = None
@@ -352,6 +413,12 @@ class VoxelRCNNProtoHead(nn.Module):
                     cls_bg_thresh=self.cls_bg_thresh,
                     cls_bg_thresh_lo=self.cls_bg_thresh_lo,
                     hard_bg_ratio=self.hard_bg_ratio,
+                    cls_score_type=self.cls_score_type,
+                    direction_min=self.direction_min,
+                    direction_max=self.direction_max,
+                    enable_hard_sampling=self.enable_hard_sampling,
+                    hard_sampling_thresh=self.hard_sampling_thresh,
+                    hard_sampling_ratio=self.hard_sampling_ratio,
                 )
             )(
                 rngs,
@@ -425,10 +492,13 @@ class VoxelRCNNProtoHead(nn.Module):
         valid = t["valid"]
         reg_mask = t["reg_valid_mask"].astype(jnp.float32) * css  # outline_reg_mask
 
-        # cls: BCE on soft IoU labels, CSS-weighted for positives
+        # cls: BCE on soft IoU labels, CSS-weighted for positives; -1 labels
+        # (the 'cls' CLS_SCORE_TYPE's interval band) are ignored
         cls_w = jnp.where(t["reg_valid_mask"], css, 1.0) * valid.astype(jnp.float32)
+        cls_w = cls_w * (t["cls_labels"] >= 0.0).astype(jnp.float32)
+        cls_tgt = jnp.clip(t["cls_labels"], 0.0, 1.0)
         def cls_loss_fn(logits):
-            bce = loss_utils.binary_cross_entropy_with_logits(logits, t["cls_labels"])
+            bce = loss_utils.binary_cross_entropy_with_logits(logits, cls_tgt)
             return jnp.sum(bce * cls_w) / jnp.clip(jnp.sum(cls_w), min=1.0)
 
         def reg_loss_fn(reg_pred):
