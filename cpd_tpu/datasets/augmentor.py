@@ -325,19 +325,38 @@ class TestAugmentor:
     """TTA: apply a fixed world transform forward, invert predictions
     (test_augmentor.py:9-181). Select a transform by ``test_iter``."""
 
-    def __init__(self, tta_cfg: dict, test_iter: int = 0):
+    def __init__(self, tta_cfg, test_iter: int = 0):
         params = []
-        for cfg in tta_cfg.get("AUG_CONFIG_LIST", []):
-            name = cfg["NAME"]
-            if name == "world_flip":
-                for ax in cfg.get("ALONG_AXIS_LIST", []):
-                    params.append(WorldTransformParam(flip_x=(ax == "x"), flip_y=(ax == "y")))
-            elif name == "world_rotation":
-                for ang in cfg.get("WORLD_ROT_ANGLE", []):
-                    params.append(WorldTransformParam(rot=ang))
-            elif name == "world_scaling":
-                for s in cfg.get("WORLD_SCALE_RANGE", []):
-                    params.append(WorldTransformParam(scale=s))
+        if isinstance(tta_cfg, (list, tuple)):
+            # reference schema (waymo_unsupervised_dbscan.yaml TEST_AUGMENTOR):
+            # a LIST of variants, each AUG_CONFIG_LIST composing ONE transform
+            # from scalar WORLD_ROT / ALONG_AXIS / WORLD_SCALE entries
+            for variant in tta_cfg:
+                rot, scale = 0.0, 1.0
+                flip_x = flip_y = False
+                for cfg in variant.get("AUG_CONFIG_LIST", []):
+                    name = cfg["NAME"]
+                    if name == "world_rotation":
+                        rot = float(cfg.get("WORLD_ROT", 0.0) or 0.0)
+                    elif name == "world_flip":
+                        ax = str(cfg.get("ALONG_AXIS", "None"))
+                        flip_x, flip_y = ax == "x", ax == "y"
+                    elif name == "world_scaling":
+                        scale = float(cfg.get("WORLD_SCALE", 1.0) or 1.0)
+                params.append(WorldTransformParam(rot=rot, scale=scale,
+                                                  flip_x=flip_x, flip_y=flip_y))
+        else:
+            for cfg in tta_cfg.get("AUG_CONFIG_LIST", []):
+                name = cfg["NAME"]
+                if name == "world_flip":
+                    for ax in cfg.get("ALONG_AXIS_LIST", []):
+                        params.append(WorldTransformParam(flip_x=(ax == "x"), flip_y=(ax == "y")))
+                elif name == "world_rotation":
+                    for ang in cfg.get("WORLD_ROT_ANGLE", []):
+                        params.append(WorldTransformParam(rot=ang))
+                elif name == "world_scaling":
+                    for s in cfg.get("WORLD_SCALE_RANGE", []):
+                        params.append(WorldTransformParam(scale=s))
         self.params = params or [WorldTransformParam()]
         self.param = self.params[test_iter % len(self.params)]
 
