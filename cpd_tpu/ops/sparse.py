@@ -149,40 +149,51 @@ def _padded_cells(grid: GridSpec) -> int:
 
 
 def build_dense_lut(keys, grid: GridSpec):
-    """(V,) sorted keys -> (padded_cells,) int32 LUT: LUT[key] = row, -1 empty.
+    """(V,) sorted keys -> (padded_cells/4, 4) int32 LUT: LUT[key >> 2,
+    key & 3] = row, -1 empty.
 
-    The table is padded to a multiple of 4 cells so ``lookup_packed_taps`` can
-    view it as (cells/4, 4) rows without a copy. Invalid rows are routed past
-    the padded end so the drop-mode scatter discards them (writing them to
-    cell 0 would clobber a real voxel at linearized key 0 -- the grid corner).
+    The table is built NATIVELY 2-D: reshaping a flat table inside jit is a
+    ~36 ms relayout copy at stage-0 scale, while every lookup form is faster
+    off the 2-D layout (row gather of a 16B lane group beats a 4B element
+    gather on the latency-bound path: 16.2 vs 25.7 ms for 13 taps, 12.1 ms
+    run-packed). Invalid rows are routed past the padded end so the
+    drop-mode scatter discards them (writing them to cell 0 would clobber a
+    real voxel at linearized key 0 -- the grid corner).
     """
     cells = _padded_cells(grid)
     valid = keys != INVALID_KEY
     target = jnp.where(valid, keys, cells)
-    lut = jnp.full((cells,), -1, jnp.int32)
+    lut = jnp.full((cells // 4, 4), -1, jnp.int32)
     rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
-    return lut.at[target].set(rows, mode="drop")
+    return lut.at[target >> 2, target & 3].set(rows, mode="drop")
+
+
+def _lane_select(rows, lane):
+    """rows (V, L) int32, lane (V,) int -> (V,) picked lanes (one-hot sum)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.sum(jnp.where(lanes == lane[:, None], rows, 0), axis=1)
 
 
 def lookup_dense(lut, queries, query_ok):
-    """LUT path: queries (...,) int32 cell keys; query_ok masks in-bounds rows.
-
-    Returns (idx clamped >=0, found)."""
+    """LUT path: queries (V,) int32 cell keys into the 2-D packed LUT;
+    query_ok masks in-bounds rows. Returns (idx clamped >=0, found)."""
     safe_q = jnp.where(query_ok, queries, 0)
-    rows = lut[safe_q]
+    rows = _lane_select(lut[safe_q >> 2], safe_q & 3)
     found = query_ok & (rows >= 0)
     return jnp.where(found, rows, 0).astype(jnp.int32), found
 
 
 def lookup_dense_rows(lut, queries, query_ok):
-    """lookup_dense for (P, V) tap-major queries, one gather per tap row.
+    """lookup_dense for (P, V) tap-major queries, one ROW gather per tap.
 
     One flattened (P*V,)-index gather lowers to the slow scalar path on TPU
-    (see gather_rows_per_tap); P separate (V,)-index gathers run near
-    bandwidth."""
+    (see gather_rows_per_tap); P separate row gathers from the packed 2-D
+    table run at HBM latency (16.2 ms / 13 taps at stage-0 scale)."""
     p = queries.shape[0]
     safe_q = jnp.where(query_ok, queries, 0)
-    rows = jnp.stack([lut[safe_q[t]] for t in range(p)])
+    rows = jnp.stack([
+        _lane_select(lut[safe_q[t] >> 2], safe_q[t] & 3) for t in range(p)
+    ])
     found = query_ok & (rows >= 0)
     return jnp.where(found, rows, 0).astype(jnp.int32), found
 
@@ -216,26 +227,24 @@ def lookup_packed_taps(lut, base_cells, offsets_zyx, grid: GridSpec, query_ok):
     dx-adjacent cells roughly halves the number of latency-bound rows; the
     per-tap lane selection is cheap VPU work.
 
-    lut: (padded_cells,) int32 from :func:`build_dense_lut`;
+    lut: (padded_cells/4, 4) int32 from :func:`build_dense_lut`;
     base_cells: (V,) int32 base cell per query row (any value when not ok);
     offsets_zyx: STATIC list of P (dz, dy, dx) taps; query_ok: (P, V) bool
     per-tap validity (in-bounds & valid source row).
     Returns (idx (P, V) int32 clamped >= 0, found (P, V) bool).
     """
     p = len(offsets_zyx)
-    cells4 = lut.shape[0] // 4
-    lut4 = lut.reshape(cells4, 4)
+    cells4 = lut.shape[0]
     vals = [None] * p
     for d0, run in _delta_runs(offsets_zyx, grid):
         span = run[-1][0] - d0 + 1
         n_rows = 1 + (span + 2) // 4  # covers any alignment of the run
         c0 = base_cells + d0
         p0 = jnp.clip(c0 >> 2, 0, cells4 - n_rows)
-        cat = jnp.concatenate([lut4[p0 + j] for j in range(n_rows)], axis=1)  # (V, 4R)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (base_cells.shape[0], 4 * n_rows), 1)
+        cat = jnp.concatenate([lut[p0 + j] for j in range(n_rows)], axis=1)  # (V, 4R)
         for d, t in run:
             lane = (base_cells + d) - (p0 << 2)
-            vals[t] = jnp.sum(jnp.where(lanes == lane[:, None], cat, 0), axis=1)
+            vals[t] = _lane_select(cat, lane)
     rows = jnp.stack(vals)
     found = query_ok & (rows >= 0)
     return jnp.where(found, rows, 0).astype(jnp.int32), found

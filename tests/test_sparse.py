@@ -236,10 +236,11 @@ def test_dense_lut_corner_voxel_not_clobbered():
     real active voxel at the grid corner (linearized key 0)."""
     grid = GridSpec(4, 4, 4)
     keys = jnp.asarray([0, 5, 9, INVALID_KEY, INVALID_KEY], jnp.int32)
-    lut = sparse.build_dense_lut(keys, grid)
+    lut = np.asarray(sparse.build_dense_lut(keys, grid)).reshape(-1)
     assert int(lut[0]) == 0
     assert int(lut[5]) == 1
     assert int(lut[9]) == 2
+    lut = sparse.build_dense_lut(keys, grid)
     idx, found = sparse.lookup_dense(lut, jnp.asarray([0, 1]), jnp.asarray([True, True]))
     assert bool(found[0]) and int(idx[0]) == 0
     assert not bool(found[1])

@@ -62,6 +62,84 @@ def _dataset(data_cfg, training=True, n=8):
                             training=training)
 
 
+SHIPPED_CONFIGS = [
+    "tools/cfgs/models/voxel_rcnn_cproto_center.yaml",
+    "tools/cfgs/models/voxel_rcnn_dbscan_single_train.yaml",
+    "tools/cfgs/models/voxel_rcnn_oyster_single_train.yaml",
+    "tools/cfgs/models/voxel_rcnn_cproto_center_kitti.yaml",
+]
+
+
+def _shrink_cfg(cfg):
+    """Scale a shipped full-size config down to tiny synthetic capacities."""
+    d = cfg["DATA_CONFIG"]
+    d["DATASET"] = "SyntheticDataset"
+    d["POINT_CLOUD_RANGE"] = [-8.0, -8.0, -2.0, 8.0, 8.0, 4.0]
+    d["POINT_CAP"] = 2048
+    d["GT_CAP"] = 16
+    d["STAGES"] = 2
+    for proc in d["DATA_PROCESSOR"]:
+        if proc["NAME"] == "transform_points_to_voxels":
+            proc["VOXEL_SIZE"] = [0.25, 0.25, 0.15]
+            proc["MAX_NUMBER_OF_VOXELS"] = {"train": 2048, "test": 2048}
+    m = cfg["MODEL"]
+    m["BACKBONE_3D"]["VOXEL_CAPS"] = [1024, 512, 256, 256]
+    dense_post = m["DENSE_HEAD"].setdefault("POST_PROCESSING", {})
+    dense_post["NMS_CONFIG"] = {"NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 512,
+                                "NMS_POST_MAXSIZE": 64}
+    if "ROI_HEAD" in m:
+        m["ROI_HEAD"]["TARGET_CONFIG"]["ROI_PER_IMAGE"] = 16
+        m["ROI_HEAD"].setdefault("ROI_GRID_POOL", {})["GRID_SIZE"] = 4
+        nms = m["ROI_HEAD"].get("NMS_CONFIG")
+        if nms:
+            nms["TRAIN"]["NMS_POST_MAXSIZE"] = 64
+            nms["TEST"]["NMS_POST_MAXSIZE"] = 32
+    m.setdefault("POST_PROCESSING", {})["NMS_CONFIG"] = {
+        "NMS_THRESH": 0.3, "NMS_PRE_MAXSIZE": 512, "NMS_POST_MAXSIZE": 64}
+    cfg["OPTIMIZATION"]["BATCH_SIZE_PER_GPU"] = 1
+    return cfg
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg_file", SHIPPED_CONFIGS)
+def test_shipped_config_train_and_eval(tmp_path, cfg_file):
+    """Every shipped model yaml must train (2 debug steps) and eval through
+    the CLIs -- exercises the NAME-driven registry end to end."""
+    from tools import train as train_cli
+    from tools import test as test_cli
+    import cpd_tpu.config as config_mod
+    from cpd_tpu.config import cfg_from_yaml_file, ConfigDict
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = _shrink_cfg(cfg_from_yaml_file(repo / cfg_file, ConfigDict()))
+    cfg.pop("TAG", None)
+    cfg.pop("EXP_GROUP_PATH", None)
+    class_names = list(cfg["CLASS_NAMES"])
+    small = tmp_path / "model.yaml"
+    small.write_text(yaml.safe_dump(cfg.to_dict()))
+    data_cfg = cfg["DATA_CONFIG"].to_dict()
+
+    def ds(training, n=8):
+        return SyntheticDataset(n=n, dataset_cfg=data_cfg,
+                                class_names=class_names, training=training)
+
+    out = tmp_path / "out"
+    config_mod.cfg.clear()
+    train_cli.main([
+        "--cfg_file", str(small), "--output_dir", str(out),
+        "--debug_steps", "2", "--log_every", "1", "--fix_random_seed",
+    ], dataset=ds(True))
+    from cpd_tpu.utils.checkpoint import list_checkpoints
+    ckpts = list_checkpoints(out / "ckpt")
+    assert ckpts
+    config_mod.cfg.clear()
+    result = test_cli.main([
+        "--cfg_file", str(small), "--output_dir", str(out / "eval"),
+        "--ckpt", str(ckpts[-1][1]), "--debug_steps", "1",
+    ], dataset=ds(False, n=8))
+    assert isinstance(result, dict)
+
+
 @pytest.mark.slow
 def test_train_ckpt_resume_eval(tmp_path):
     from tools import train as train_cli
