@@ -153,6 +153,13 @@ class AnchorHeadSingle(nn.Module):
         tgt = jax.vmap(one)(gt_boxes, gt_valid)
         labels = tgt["labels"]  # (B, A)
         gt_idx = tgt["gt_idx"]
+        if preds.get("anchor_mask") is not None:
+            # V2 point-density mask: anchors away from any points are removed
+            # from the anchor set in the reference (anchor_head_single.py:131);
+            # static-shape equivalent = ignore label (-1) outside the mask
+            n_anchor = labels.shape[1] // (h * w)
+            mflat = jnp.repeat(preds["anchor_mask"].reshape(-1), n_anchor)
+            labels = jnp.where(mflat[None, :], labels, -1)
         b = labels.shape[0]
         cls_preds = preds["cls_preds"].reshape(b, -1, self.num_classes)
         box_preds = preds["box_preds"].reshape(b, -1, self.coder.code_size)
@@ -202,4 +209,103 @@ class AnchorHeadSingle(nn.Module):
         rot = limit_period(boxes[..., 6] - self.dir_offset, self.dir_limit_offset, period)
         boxes = boxes.at[..., 6].set(rot + self.dir_offset + period * dir_labels)
         scores = jax.nn.sigmoid(preds["cls_preds"].reshape(b, -1, self.num_classes))
+        if preds.get("anchor_mask") is not None:
+            n_anchor = scores.shape[1] // (h * w)
+            mflat = jnp.repeat(preds["anchor_mask"].reshape(-1), n_anchor)
+            scores = jnp.where(mflat[None, :, None], scores, 0.0)
         return boxes, scores
+
+
+def point_density_anchor_mask(points, points_valid, spatial_shape,
+                              point_cloud_range, grid_nx: int):
+    """(H, W) bool anchor mask from point BEV density
+    (anchor_head_single.py:88-125 ``get_anchor_mask`` semantics).
+
+    The reference rasterizes ALL batch points into a 10x-coarse BEV occupancy
+    grid (stride = round(voxel_size*8*10) meters, voxel_size = x_range/nx),
+    then marks, for each occupied coarse cell c, the fine rows/cols
+    [10c-10, 10c+10) -- i.e. block c and block c-1 fully, per axis. Kept
+    batch-shared and static-shape here: one (H, W) mask, computed with a
+    scatter + {0,+1} shift dilation + 10x upsample.
+
+    points: (B, P, >=2) world xy in cols 0:2; points_valid: (B, P).
+    """
+    h, w = spatial_shape
+    hl, wl = max(h // 10, 1), max(w // 10, 1)
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+    voxel_size = (float(point_cloud_range[3]) - float(point_cloud_range[0])) / grid_nx
+    stride = jnp.round(voxel_size * 8.0 * 10.0)
+    ix = jnp.clip(((points[..., 0] - pcr[0]) / stride).astype(jnp.int32), 0, wl - 1)
+    iy = jnp.clip(((points[..., 1] - pcr[1]) / stride).astype(jnp.int32), 0, hl - 1)
+    flat = iy * wl + ix
+    flat = jnp.where(points_valid, flat, hl * wl)  # dropped by mode="drop"
+    occ = jnp.zeros((hl * wl,), jnp.bool_).at[flat.reshape(-1)].set(
+        True, mode="drop").reshape(hl, wl)
+    # dilation: fine block b is marked iff coarse cell b or b+1 occupied (per axis)
+    occ_p = jnp.pad(occ, ((0, 1), (0, 1)))
+    dil = occ_p[:-1, :-1] | occ_p[1:, :-1] | occ_p[:-1, 1:] | occ_p[1:, 1:]
+    fine = jnp.repeat(jnp.repeat(dil, 10, axis=0), 10, axis=1)
+    out = jnp.zeros((h, w), jnp.bool_)
+    hh, ww = min(h, fine.shape[0]), min(w, fine.shape[1])
+    return out.at[:hh, :ww].set(fine[:hh, :ww])
+
+
+class _ConvBranch(nn.Module):
+    """3x3 conv + BN + ReLU + 1x1 conv head (anchor_head_single.py get_layer)."""
+
+    out_dim: int
+    bias_init: Optional[float] = None
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        dim = x.shape[-1]
+        x = nn.Conv(dim, (3, 3), use_bias=True)(x)
+        x = BatchNorm2d(axis_name=self.bn_axis_name)(x, train)
+        x = nn.relu(x)
+        if self.bias_init is None:
+            return nn.Conv(self.out_dim, (1, 1))(x)
+        return nn.Conv(
+            self.out_dim, (1, 1),
+            bias_init=nn.initializers.constant(self.bias_init))(x)
+
+
+class AnchorHeadSingleV2(AnchorHeadSingle):
+    """Decomposed-branch anchor head with the point-density anchor mask
+    (anchor_head_single.py:31-194 AnchorHeadSingleV2).
+
+    A shared 3x3 conv (64ch) feeds five prediction branches -- cls (bias init
+    -4.59), xy-reg, height, dims, angle -- whose box outputs are concatenated;
+    the direction classifier reads the raw input features. The anchor mask
+    rides in ``preds['anchor_mask']`` and is consumed by the template loss +
+    decode (ignore labels / zero scores outside the mask)."""
+
+    shared_channels: int = 64
+
+    def setup(self):
+        self.coder = ResidualCoder(code_size=7)
+        n_anchor = len(self.anchor_sizes) * len(self.anchor_rotations)
+        self.shared_conv = nn.Conv(self.shared_channels, (3, 3), use_bias=True)
+        self.shared_bn = BatchNorm2d()
+        self.branch_cls = _ConvBranch(n_anchor * self.num_classes, bias_init=-4.59,
+                                      name="conv_cls")
+        self.branch_reg = _ConvBranch(n_anchor * 2, name="conv_reg")
+        self.branch_height = _ConvBranch(n_anchor * 1, name="conv_height")
+        self.branch_dim = _ConvBranch(n_anchor * 3, name="conv_dim")
+        self.branch_ang = _ConvBranch(n_anchor * 1, name="conv_ang")
+        self.conv_dir = nn.Conv(n_anchor * self.num_dir_bins, (1, 1))
+
+    def __call__(self, bev_features, train: bool = False, anchor_mask=None):
+        b, h, w, _ = bev_features.shape
+        n_anchor = len(self.anchor_sizes) * len(self.anchor_rotations)
+        shard = nn.relu(self.shared_bn(self.shared_conv(bev_features), train))
+        cls = self.branch_cls(shard, train).reshape(b, h, w, n_anchor, self.num_classes)
+        box = jnp.concatenate([
+            self.branch_reg(shard, train).reshape(b, h, w, n_anchor, 2),
+            self.branch_height(shard, train).reshape(b, h, w, n_anchor, 1),
+            self.branch_dim(shard, train).reshape(b, h, w, n_anchor, 3),
+            self.branch_ang(shard, train).reshape(b, h, w, n_anchor, 1),
+        ], axis=-1)
+        dirp = self.conv_dir(bev_features).reshape(b, h, w, n_anchor, self.num_dir_bins)
+        return {"cls_preds": cls, "box_preds": box, "dir_preds": dirp,
+                "spatial_shape": (h, w), "anchor_mask": anchor_mask}

@@ -25,7 +25,8 @@ from ..ops.sparse import GridSpec, Rulebook
 from .norm import MaskedBatchNorm
 
 
-def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False):
+def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False,
+                           lut_max_cells: int = None):
     """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
     boundary (they carry no gradients; recomputing their LUT scatters / joins
     in the backward replay would dominate the training step).
@@ -36,12 +37,13 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     get their transpose for free by mirroring tap columns."""
     g = stage_grids(grid)
     rbs = {}
+    max_cells = sparse.DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
 
     def stage_lut(k, gg):
         # one dense LUT per stage level, shared by every builder that looks up
         # that stage's keys; None (-> rank-join in the builders) above the
         # LUT threshold
-        if gg.num_cells > sparse.DENSE_LUT_MAX_CELLS:
+        if gg.num_cells > max_cells:
             return None
         return sparse.build_dense_lut_batched(k, gg)
 
@@ -233,6 +235,9 @@ class VoxelResBackBone8x(nn.Module):
     caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = False
     bn_axis_name: Optional[str] = None
+    # BACKBONE_3D.LUT_MAX_CELLS: grids above this use rank-joins instead of a
+    # dense LUT (None = sparse.DENSE_LUT_MAX_CELLS default)
+    lut_max_cells: Optional[int] = None
 
     remat: bool = True  # rematerialize branch activations (trades recompute
     # for the backward-pass HBM that otherwise OOMs batch-4 training)
@@ -245,14 +250,16 @@ class VoxelResBackBone8x(nn.Module):
         )
         # rulebooks carry no gradients: build them OUTSIDE the remat boundary
         # so the backward replay recomputes only the conv GEMMs
-        rbs = build_branch_rulebooks(keys, self.grid, self.caps, with_transpose=train)
+        rbs = build_branch_rulebooks(keys, self.grid, self.caps, with_transpose=train,
+                                     lut_max_cells=self.lut_max_cells)
         raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
                 self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch1"
             )
             rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
-                                            with_transpose=train)
+                                            with_transpose=train,
+                                            lut_max_cells=self.lut_max_cells)
             out_mm = branch1(features_mm, rbs_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
                 raw[k + "_mm"] = out_mm[k]
@@ -307,6 +314,7 @@ class VoxelBackBone8x(nn.Module):
     caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     mm: bool = False
     bn_axis_name: Optional[str] = None
+    lut_max_cells: Optional[int] = None  # accepted for registry uniformity
 
     @nn.compact
     def __call__(self, features, keys, train: bool, features_mm=None, keys_mm=None):
