@@ -26,7 +26,7 @@ from .norm import MaskedBatchNorm
 
 
 def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False,
-                           lut_max_cells: int = None):
+                           lut_max_cells: int = None, with_conv_out: bool = True):
     """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
     boundary (they carry no gradients; recomputing their LUT scatters / joins
     in the backward replay would dominate the training step).
@@ -64,8 +64,9 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     k3 = rbs["down4"].out_keys
     lut3 = stage_lut(k3, g["x_conv4"])
     rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"], lut=lut3)
-    rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
-        k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3], lut=lut3)
+    if with_conv_out:
+        rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
+            k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3], lut=lut3)
     if with_transpose:
         rbs["down2_T"] = sparse.build_inverse_rulebook_batched(
             keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
@@ -76,9 +77,10 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
         rbs["down4_T"] = sparse.build_inverse_rulebook_batched(
             k2, k3, g["x_conv3"], g["x_conv4"], (3, 3, 3), (2, 2, 2), (1, 1, 0),
             out_lut=lut3)
-        rbs["conv_out_T"] = sparse.build_inverse_rulebook_batched(
-            k3, rbs["conv_out"].out_keys, g["x_conv4"], g["encoded"],
-            (1, 1, 3), (1, 1, 2), (0, 0, 0))
+        if with_conv_out:
+            rbs["conv_out_T"] = sparse.build_inverse_rulebook_batched(
+                k3, rbs["conv_out"].out_keys, g["x_conv4"], g["encoded"],
+                (1, 1, 3), (1, 1, 2), (0, 0, 0))
     return rbs
 
 
@@ -183,6 +185,10 @@ class ResBranch(nn.Module):
     num_filters: Tuple[int, ...] = (16, 32, 64, 128)
     caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)  # out caps of conv2..conv_out
     bn_axis_name: Optional[str] = None
+    # the reference MM branch is SHALLOWER than the main one: conv2_2/3_2/4_2
+    # carry ONE SparseBasicBlock each (vs two) and there is no conv_out_2
+    # (spconv_backbone.py:459-487, forward :581 keeps conv_out commented out)
+    light: bool = False
 
     @nn.compact
     def __call__(self, features, rulebooks, train: bool):
@@ -199,26 +205,30 @@ class ResBranch(nn.Module):
             x, rulebooks["down2"], train, rulebooks.get("down2_T"))
         rb1 = rulebooks["subm2"]
         x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name)(x, rb1, train)
-        x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
+        if not self.light:
+            x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
         out["x_conv2"] = (x, rb1.out_keys)
 
         x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name)(
             x, rulebooks["down3"], train, rulebooks.get("down3_T"))
         rb2 = rulebooks["subm3"]
         x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name)(x, rb2, train)
-        x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
+        if not self.light:
+            x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
         out["x_conv3"] = (x, rb2.out_keys)
 
         x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name)(
             x, rulebooks["down4"], train, rulebooks.get("down4_T"))
         rb3 = rulebooks["subm4"]
         x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name)(x, rb3, train)
-        x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
+        if not self.light:
+            x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
         out["x_conv4"] = (x, rb3.out_keys)
 
-        x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(
-            x, rulebooks["conv_out"], train, rulebooks.get("conv_out_T"))
-        out["encoded"] = (x, rulebooks["conv_out"].out_keys)
+        if not self.light:
+            x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(
+                x, rulebooks["conv_out"], train, rulebooks.get("conv_out_T"))
+            out["encoded"] = (x, rulebooks["conv_out"].out_keys)
         return out
 
 
@@ -255,13 +265,16 @@ class VoxelResBackBone8x(nn.Module):
         raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
-                self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch1"
+                self.grid, self.num_filters, self.caps, self.bn_axis_name,
+                light=True, name="branch1"
             )
+            # the light branch has no conv_out: skip that rulebook + transpose
             rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
                                             with_transpose=train,
-                                            lut_max_cells=self.lut_max_cells)
+                                            lut_max_cells=self.lut_max_cells,
+                                            with_conv_out=False)
             out_mm = branch1(features_mm, rbs_mm, train)
-            for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4", "encoded"):
+            for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
                 raw[k + "_mm"] = out_mm[k]
         # reattach the static grids OUTSIDE the (possibly remat-ed) branches
         grids = stage_grids(self.grid)

@@ -50,7 +50,11 @@ def convert_linear_weight(w: np.ndarray) -> np.ndarray:
 
 # rule table: (reference regex) -> (our params path template, our batch_stats
 # path template or None). {b} = siamese branch (branch0/branch1), {s} = stage.
-_BLOCK = {"0": "a", "1": "b"}  # reference block index -> our suffix
+# reference Sequential block index -> our a/b suffix. Stage 1 has no strided
+# entry (blocks at 0,1); stages 2-4 lead with the strided post_act_block, so
+# their SparseBasicBlocks sit at indices 1,2 (spconv_backbone.py:421-446).
+_BLOCK_S1 = {"0": "a", "1": "b"}
+_BLOCK_SN = {"1": "a", "2": "b"}
 
 
 def _bn_paths(base: Tuple[str, ...]):
@@ -80,7 +84,8 @@ def reference_key_rules() -> List[Tuple[str, callable]]:
     def conv_stage(m):
         b = "branch1" if m.group("mm") else "branch0"
         stage = int(m.group("stage"))
-        blk = _BLOCK.get(m.group("blk"), m.group("blk"))
+        table = _BLOCK_S1 if stage == 1 else _BLOCK_SN
+        blk = table.get(m.group("blk"), m.group("blk"))
         which = m.group("which")  # conv1/bn1/conv2/bn2 inside SparseBasicBlock
         base = ("backbone", b, f"res{stage}{blk}")
         sub = "SubMConvBN_0" if which in ("conv1", "bn1") else "SubMConvBN_1"

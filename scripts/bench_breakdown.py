@@ -28,6 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--uniform", action="store_true",
+                    help="old uniform-box frame instead of the lidar model")
+    ap.add_argument("--max-voxels", type=int, default=150_000)
+    ap.add_argument("--caps", type=int, nargs=4, default=(80_000, 40_000, 20_000, 20_000))
     args = ap.parse_args()
 
     import jax
@@ -39,28 +44,32 @@ def main():
     from cpd_tpu.models.detector import VoxelRCNN, keys_from_frame
     from cpd_tpu.models.backbone3d import build_branch_rulebooks
     from cpd_tpu.ops.voxelizer import voxelize_batch
+    from cpd_tpu.utils.synthetic import make_lidar_frame
 
     model = VoxelRCNN(
         num_classes=3,
         point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
         voxel_size=(0.1, 0.1, 0.15),
-        max_voxels=150_000,
-        backbone_caps=(80_000, 40_000, 20_000, 20_000),
+        max_voxels=args.max_voxels,
+        backbone_caps=tuple(args.caps),
         mm=False,
         num_rois=500,
         num_rois_test=200,
         roi_per_image=130,
     )
-    b, p = 1, 200_000
+    b, p = args.batch, 200_000
     rng = np.random.default_rng(0)
-    pts = np.concatenate(
-        [
-            rng.uniform(-74, 74, (b, p, 2)),
-            rng.uniform(-2, 4, (b, p, 1)),
-            rng.uniform(0, 1, (b, p, 2)),
-        ],
-        axis=-1,
-    ).astype(np.float32)
+    if args.uniform:
+        pts = np.concatenate(
+            [
+                rng.uniform(-74, 74, (b, p, 2)),
+                rng.uniform(-2, 4, (b, p, 1)),
+                rng.uniform(0, 1, (b, p, 2)),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        pts = np.stack([make_lidar_frame(rng, p)[0] for _ in range(b)])
     batch = {"points": jnp.asarray(pts), "points_valid": jnp.ones((b, p), bool)}
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
@@ -112,7 +121,11 @@ def main():
     o = pred(variables, batch)
     t_pred = timeit(lambda: pred(variables, batch), sync, args.iters)
     print(f"predict (+postNMS):  {t_pred*1e3:8.1f} ms   (post nms: {(t_pred-t_fwd)*1e3:.1f})")
-    print(f"fps: {1.0/t_pred:.3f}")
+    occ0 = int(np.asarray((keys != np.iinfo(np.int32).max).sum(axis=-1)).max())
+    occ = {name: int(np.asarray(rbs[name].out_valid.sum(axis=-1)).max())
+           for name in ("down2", "down3", "down4", "conv_out")}
+    print(f"occupancy: stage0 {occ0}/{model.max_voxels}, {occ} / caps {model.backbone_caps}")
+    print(f"fps: {b/t_pred:.3f}  (batch {b})")
 
     # ---- roi-head internals -------------------------------------------------
     from cpd_tpu.models.roi_head import compute_pool_queries
