@@ -6,17 +6,26 @@ Baseline derivation (the reference publishes no throughput, BASELINE.md):
 the reference detector is a Voxel R-CNN variant; Voxel R-CNN reports
 25.2 FPS on KITTI frames on an RTX 2080 Ti (Deng et al., "Voxel R-CNN",
 AAAI 2021, Table 6). CPD runs the same architecture at Waymo scale --
-1504x1504x40 grid / ~150k voxels vs KITTI's 1408x1600x40 / ~16k voxels, a
+1504x1504x40 grid / ~130k voxels vs KITTI's 1408x1600x40 / ~16k voxels, a
 ~5-8x larger sparse workload -- plus the larger 150-proposal second stage,
 on an RTX 3090 (~1.5x a 2080 Ti). 25.2 x 1.5 / 6.5 / 1.2 ~= 4.8, rounded up
 generously to 10 frames/s/GPU as a conservative (hard-to-beat) baseline.
 ``vs_baseline`` = our frames/sec/chip divided by 10; north star >= 5.0.
 
-Caps: this bench runs the MODEL-DEFAULT voxel caps (80k, 60k, 40k, 40k)
-(detector.py backbone_caps) and asserts none of the backbone stages
-saturates its cap on the 200k-point synthetic frame, so the measured number
-carries no silent accuracy loss from truncation.
+Frames: lidar-realistic synthetic (cpd_tpu/utils/synthetic.py -- ground disk
+with 1/r range density, object surfaces, vertical clutter; ~127k occupied
+stage-0 voxels of the 150k cap, matching real Waymo frame statistics).
+Throughput is measured at BATCH size ``--batch`` (default 4): frames/s/chip
+is a throughput metric and batched eval is how both this framework's
+tools/test.py and the reference's eval_utils run the model; the cap audit
+below guarantees the batch buys no silent truncation.
+
+Caps: the MODEL-DEFAULT voxel caps (80k, 60k, 40k, 40k)
+(detector.py backbone_caps); the audit asserts no backbone stage saturates
+its cap on any frame in the batch, so the measured number carries no silent
+accuracy loss from truncation.
 """
+import argparse
 import json
 import sys
 import time
@@ -27,9 +36,15 @@ REFERENCE_FPS_PER_CHIP_ESTIMATE = 10.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from cpd_tpu.models.detector import VoxelRCNN
+    from cpd_tpu.utils.synthetic import make_lidar_frame
 
     model = VoxelRCNN(
         num_classes=3,
@@ -42,16 +57,9 @@ def main():
         num_rois_test=200,
         roi_per_image=130,
     )
-    b, p = 1, 200_000
+    b, p = args.batch, 200_000
     rng = np.random.default_rng(0)
-    pts = np.concatenate(
-        [
-            rng.uniform(-74, 74, (b, p, 2)),
-            rng.uniform(-2, 4, (b, p, 1)),
-            rng.uniform(0, 1, (b, p, 2)),
-        ],
-        axis=-1,
-    ).astype(np.float32)
+    pts = np.stack([make_lidar_frame(rng, p)[0] for _ in range(b)])
     batch = {
         "points": jnp.asarray(pts),
         "points_valid": jnp.ones((b, p), bool),
@@ -68,7 +76,7 @@ def main():
         # axon-tunneled TPU runtime
         np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
 
-    # cap-occupancy audit: no backbone stage may saturate its cap on this
+    # cap-occupancy audit: no backbone stage may saturate its cap on any
     # frame (a saturated cap would buy throughput with silent truncation)
     from cpd_tpu.models.backbone3d import build_branch_rulebooks
     from cpd_tpu.models.detector import keys_from_frame
@@ -83,11 +91,13 @@ def main():
     keys = keys_from_frame(frame, grid)
     rbs = jax.jit(lambda k: build_branch_rulebooks(
         k, grid, model.backbone_caps))(keys)
-    occ = {name: int(np.asarray(rbs[name].out_valid.sum()))
+    occ0 = int(np.asarray((keys != np.iinfo(np.int32).max).sum(axis=-1)).max())
+    occ = {name: int(np.asarray(rbs[name].out_valid.sum(axis=-1)).max())
            for name in ("down2", "down3", "down4", "conv_out")}
     caps = dict(zip(("down2", "down3", "down4", "conv_out"), model.backbone_caps))
-    print(f"stage occupancy / cap: "
+    print(f"stage occupancy / cap: stage0 ({occ0}, {model.max_voxels}), "
           f"{ {k: (occ[k], caps[k]) for k in occ} }", file=sys.stderr)
+    assert occ0 < model.max_voxels, f"voxel cap saturated: {occ0}"
     for k in occ:
         assert occ[k] < caps[k], f"cap saturated at {k}: {occ[k]}/{caps[k]}"
 
@@ -96,7 +106,7 @@ def main():
     out = predict(variables, batch)
     sync(out)
 
-    iters = 10
+    iters = args.iters
     t0 = time.perf_counter()
     for _ in range(iters):
         out = predict(variables, batch)

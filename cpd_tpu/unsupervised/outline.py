@@ -173,34 +173,29 @@ def density_guided_drift(box: np.ndarray, cluster: np.ndarray,
     LiDAR sees the near faces; when a size prior enlarges the box, the extra
     extent should grow AWAY from the sensor-facing observed surface.
     """
-    box = box.copy()
+    box = np.asarray(box, np.float64).copy()
+    if size_prior is not None:
+        # the reference applies the prototype size BEFORE drifting
+        # (c_proto_refine.py:465 passes the size-updated new_box)
+        box[3], box[4] = size_prior
+    l, w = box[3], box[4]
     c, s = np.cos(box[6]), np.sin(box[6])
     rel = cluster[:, :2] - box[:2]
     local_x = rel[:, 0] * c + rel[:, 1] * s
     local_y = -rel[:, 0] * s + rel[:, 1] * c
-    if size_prior is not None:
-        l, w = size_prior
-    else:
-        l, w = box[3], box[4]
-    # anchor the box so the observed extremes touch the corresponding face
+    # majority-sign anchoring (outline_utils.py:73-86): if more than half the
+    # points sit on an axis's positive side, that face is the observed one --
+    # pin it at the max point coordinate; otherwise pin the negative face at
+    # the min. Center-only shift; dims stay as set above.
+    shift = np.zeros(2)
     for axis, vals, dim in ((0, local_x, l), (1, local_y, w)):
-        lo, hi = vals.min(), vals.max()
-        # which side is observed? the one with more points near the extreme
-        near_lo = np.sum(vals < lo + 0.15 * (hi - lo + 1e-6))
-        near_hi = np.sum(vals > hi - 0.15 * (hi - lo + 1e-6))
-        if near_lo >= near_hi:
-            shift = (lo + dim / 2) if dim > (hi - lo) else (lo + hi) / 2
+        if (vals > 0).sum() / max(vals.shape[0], 1) > 0.5:
+            shift[axis] = vals.max() - dim / 2
         else:
-            shift = (hi - dim / 2) if dim > (hi - lo) else (lo + hi) / 2
-        if axis == 0:
-            box[0] += shift * c
-            box[1] += shift * s
-            box[3] = dim
-        else:
-            box[0] += -shift * s
-            box[1] += shift * c
-            box[4] = dim
-    return box
+            shift[axis] = vals.min() + dim / 2
+    box[0] += shift[0] * c - shift[1] * s
+    box[1] += shift[0] * s + shift[1] * c
+    return box.astype(np.float32)
 
 
 def corner_align(box: np.ndarray, new_l: float, new_w: float) -> np.ndarray:

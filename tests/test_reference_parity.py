@@ -2,9 +2,8 @@
 (/root/reference/cpd/unsupervised_core, CPU-runnable in this image) on
 synthetic scenes and assert the repo's reimplementations agree.
 
-Deliberate divergences are tested for behavioral equivalence instead and
-documented inline (density_guided_drift uses a different anchoring heuristic;
-see cpd_tpu/unsupervised/outline.py docstrings).
+Every covered function asserts numeric agreement with the reference's own
+NumPy implementation (density_guided_drift included, since round 2).
 """
 import sys
 
@@ -180,18 +179,21 @@ def test_correct_heading_matches(ref):
         assert abs(((got[6] - want[6]) + np.pi) % (2 * np.pi) - np.pi) < 1e-6
 
 
-def test_density_guided_drift_divergence_documented(ref):
-    """DELIBERATE DIVERGENCE: the reference (outline_utils.py:41) anchors by
-    majority-side point count; ours anchors the observed extreme face. Both
-    must grow the box AWAY from the densely observed faces: with a size prior
-    larger than the cluster extent, the new center must move away from the
-    sensor-facing side."""
+def test_density_guided_drift_matches(ref):
+    """Exact parity with outline_utils.py:41 (majority-sign side anchoring,
+    center-only shift): with dims pre-set, our drift must reproduce the
+    reference's output box."""
     from cpd_tpu.unsupervised.outline import box_fit, density_guided_drift
-    pts = _cluster(6)
-    box = box_fit(pts)
-    prior = (5.065, 1.86)
-    drifted = density_guided_drift(box, pts, size_prior=prior)
-    assert drifted[3] == pytest.approx(prior[0])
-    assert drifted[4] == pytest.approx(prior[1])
-    # center moved away from the sensor (origin), not toward it
-    assert np.hypot(drifted[0], drifted[1]) >= np.hypot(box[0], box[1]) - 0.3
+    for seed in range(5):
+        pts = _cluster(seed)
+        box = box_fit(pts)
+        prior = (5.065, 1.86)
+        drifted = density_guided_drift(box, pts, size_prior=prior)
+        ref_in = np.asarray(box, np.float64).copy()
+        ref_in[3], ref_in[4] = prior  # the reference pre-sets dims
+        outline_utils, _ = ref
+        want = outline_utils.density_guided_drift(pts, ref_in)
+        np.testing.assert_allclose(drifted, np.asarray(want, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+        assert drifted[3] == pytest.approx(prior[0])
+        assert drifted[4] == pytest.approx(prior[1])
