@@ -374,6 +374,109 @@ class TestAugmentor:
         return self.param.inverse_boxes(pred_boxes)
 
 
+_XT_DEFAULT_CFGS = [
+    {"NAME": "world_rotation", "WORLD_ROT_ANGLE": [-0.78539816, 0.78539816]},
+    {"NAME": "world_flip", "ALONG_AXIS_LIST": ["x"]},
+    {"NAME": "world_scaling", "WORLD_SCALE_RANGE": [0.95, 1.05]},
+]
+
+
+class XTransform:
+    """X_TRAIN / X_TEST per-stage clone protocol (X_transform.py:9-255).
+
+    Draws one world-transform parameter row per stage (columns follow the
+    config list order: rotation angle / flip indicator / scale factor),
+    produces ``points``/``points{i}`` (+ ``gt_boxes{i}``) clones transformed
+    per stage, and threads the numeric ``transform_param`` (S, n_cfg) array
+    into the batch for the model's BEV de-augmentation
+    (height_compression.py:81 bev_align). ``backward_row`` undoes one stage's
+    transform on predicted boxes (X_TEST backward_with_param).
+    """
+
+    def __init__(self, aug_config_list=None, stages: int = 1, fixed: bool = False):
+        self.cfgs = list(aug_config_list) if aug_config_list else list(_XT_DEFAULT_CFGS)
+        self.names = [c["NAME"] for c in self.cfgs]
+        self.stages = int(stages)
+        self.fixed = bool(fixed)
+
+    def get_params(self, rng=None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        out = np.zeros((self.stages, len(self.cfgs)), np.float64)
+        for s in range(self.stages):
+            for i, cfg in enumerate(self.cfgs):
+                if cfg["NAME"] == "world_rotation":
+                    lo, hi = cfg.get("WORLD_ROT_ANGLE", [-0.7853981634, 0.7853981634])
+                    out[s, i] = rng.uniform(lo, hi)
+                elif cfg["NAME"] == "world_flip":
+                    out[s, i] = rng.choice([0.0, 1.0])
+                elif cfg["NAME"] == "world_scaling":
+                    lo, hi = cfg.get("WORLD_SCALE_RANGE", [0.95, 1.05])
+                    out[s, i] = rng.uniform(lo, hi)
+            if self.fixed:
+                break
+        if self.fixed:
+            out[1:] = out[0]
+        return out
+
+    def apply_row(self, points, boxes, row, backward: bool = False):
+        """Apply (or exactly invert) one stage's parameter row.
+
+        Forward runs the config queue in order; backward runs it REVERSED
+        with each op inverted (the reference's test_back_queue,
+        X_transform.py:27-32)."""
+        points = None if points is None else points.copy()
+        boxes = None if boxes is None else boxes.copy()
+        order = list(enumerate(self.names))
+        if backward:
+            order = order[::-1]
+        for i, name in order:
+            v = float(row[i])
+            if name == "world_rotation":
+                ang = -v if backward else v
+                if points is not None:
+                    points[:, :3] = rot_z(points[:, :3], ang)[:, :3]
+                if boxes is not None:
+                    boxes[:, :3] = rot_z(boxes[:, :3], ang)[:, :3]
+                    boxes[:, 6] += ang
+            elif name == "world_flip":
+                if v > 0.5:  # flip along x: y negated (augmentor_utils ax=1)
+                    if points is not None:
+                        points[:, 1] = -points[:, 1]
+                    if boxes is not None:
+                        boxes[:, 1] = -boxes[:, 1]
+                        boxes[:, 6] = -boxes[:, 6]
+            elif name == "world_scaling":
+                s = (1.0 / v) if backward else v
+                if points is not None:
+                    points[:, :3] *= s
+                if boxes is not None:
+                    boxes[:, :6] *= s
+        return points, boxes
+
+    def input_transform(self, data: dict, rng=None) -> dict:
+        """X_TRAIN.input_transform: per-stage transformed clones of the source
+        points/boxes under stage-specific params; stage 0 REPLACES the main
+        view (X_transform.py:161-194)."""
+        params = self.get_params(rng)
+        src_points = data["points"]
+        src_boxes = data.get("gt_boxes")
+        for i in range(self.stages):
+            # stage 0 replaces the main view; extra stages ride
+            # ``points_stage{i}`` ("points1" is the MM proto view here)
+            pk = "points" if i == 0 else f"points_stage{i}"
+            bk = "gt_boxes" if i == 0 else f"gt_boxes_stage{i}"
+            pts, boxes = self.apply_row(src_points, src_boxes, params[i])
+            data[pk] = pts
+            if boxes is not None:
+                data[bk] = boxes
+        data["transform_param"] = params.astype(np.float32)
+        return data
+
+    def backward_row(self, pred_boxes: np.ndarray, row) -> np.ndarray:
+        _, boxes = self.apply_row(None, pred_boxes, row, backward=True)
+        return boxes
+
+
 # ---------------------------------------------------------------------------
 # local (per-object) augmentations
 # ---------------------------------------------------------------------------

@@ -150,3 +150,65 @@ def bev_align(bev_maps, transform_params, point_cloud_range, stride_m,
     if fusion == "max":
         return jnp.max(stack, axis=0)
     return jnp.mean(stack, axis=0)
+
+
+def bev_align_params(bev_maps, transform_param, point_cloud_range, stride_m,
+                     names=("world_rotation", "world_flip", "world_scaling"),
+                     fusion: str = "mean"):
+    """Traced multi-stage BEV de-augmentation for the X_TRAIN clone protocol
+    (height_compression.py:81-167): stage i's map is sampled at the
+    pseudo-grid pushed FORWARD through stage i's params then BACKWARD through
+    stage 0's (the reference's exact composition), and the stack is fused.
+
+    bev_maps: list of S (B, H, W, C) maps (stage 0 first, used as-is);
+    transform_param: (B, S, n_cfg) numeric rows in config-list column order.
+    """
+    s = len(bev_maps)
+    b, h, w, c = bev_maps[0].shape
+    ys = jnp.asarray(point_cloud_range[1]) + (jnp.arange(h) + 0.5) * stride_m
+    xs = jnp.asarray(point_cloud_range[0]) + (jnp.arange(w) + 0.5) * stride_m
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid_xy = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+
+    def fwd(xy, row):
+        for i, name in enumerate(names):
+            v = row[i]
+            if name == "world_rotation":
+                cth, sth = jnp.cos(v), jnp.sin(v)
+                xy = jnp.stack([xy[..., 0] * cth - xy[..., 1] * sth,
+                                xy[..., 0] * sth + xy[..., 1] * cth], axis=-1)
+            elif name == "world_flip":
+                sign = 1.0 - 2.0 * (v > 0.5)
+                xy = jnp.stack([xy[..., 0], xy[..., 1] * sign], axis=-1)
+            elif name == "world_scaling":
+                xy = xy * v
+        return xy
+
+    def bwd(xy, row):
+        for i, name in reversed(list(enumerate(names))):
+            v = row[i]
+            if name == "world_rotation":
+                cth, sth = jnp.cos(-v), jnp.sin(-v)
+                xy = jnp.stack([xy[..., 0] * cth - xy[..., 1] * sth,
+                                xy[..., 0] * sth + xy[..., 1] * cth], axis=-1)
+            elif name == "world_flip":
+                sign = 1.0 - 2.0 * (v > 0.5)
+                xy = jnp.stack([xy[..., 0], xy[..., 1] * sign], axis=-1)
+            elif name == "world_scaling":
+                xy = xy / v
+        return xy
+
+    from .part_wraper import bilinear_sample_bev
+
+    aligned = [bev_maps[0]]
+    for i in range(1, s):
+        def one(bev_map, rows):
+            xy = bwd(fwd(grid_xy, rows[i]), rows[0])
+            return bilinear_sample_bev(bev_map, xy, point_cloud_range, stride_m)
+        aligned.append(jax.vmap(one)(bev_maps[i], transform_param))
+    if fusion == "first":
+        return aligned[0]
+    stack = jnp.stack(aligned)
+    if fusion == "max":
+        return jnp.max(stack, axis=0)
+    return jnp.mean(stack, axis=0)

@@ -27,7 +27,7 @@ from ..ops.voxelizer import VoxelizerSpec, voxelize_batch
 from .anchor_head import (AnchorHeadSingle, AnchorHeadSingleV2,
                           point_density_anchor_mask)
 from .backbone3d import VoxelBackBone8x, VoxelResBackBone8x, stage_grids
-from .bev import BaseBEVBackbone, height_compression
+from .bev import BaseBEVBackbone, bev_align_params, height_compression
 from .center_head import CenterHead
 from .roi_head import VoxelRCNNProtoHead
 
@@ -90,6 +90,12 @@ class VoxelRCNN(nn.Module):
     roi_head_name: str = "VoxelRCNNProtoHead"
     dense_head_cfg: Any = None  # extra kwargs for anchor heads (sizes, thresholds...)
     roi_head_cfg: Any = None    # extra kwargs (TARGET_CONFIG thresholds, proto weights)
+    # X_TRAIN clone protocol (X_transform.py + height_compression.py ALIGN):
+    # when >1 and the batch carries points{i} + transform_param, the extra
+    # stages run through the SHARED-weight backbone and their BEV maps are
+    # de-augmented into the stage-0 frame and fused by ``align_method``
+    align_stages: int = 1
+    align_method: str = "mean"  # first | max | mean
 
     def setup(self):
         self.vox_spec = VoxelizerSpec.create(
@@ -162,6 +168,21 @@ class VoxelRCNN(nn.Module):
 
         enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
         bev = height_compression(enc_feats, enc_keys, enc_grid)
+        if (self.align_stages > 1 and "transform_param" in batch
+                and "points_stage1" in batch):
+            # X_TRAIN stage clones ride ``points_stage{i}`` here ("points1" is
+            # taken by the MM proto-completed view in this batch protocol)
+            maps = [bev]
+            for i in range(1, self.align_stages):
+                fr_i = voxelize_batch(batch[f"points_stage{i}"], self.vox_spec,
+                                      batch.get(f"points_stage{i}_valid"))
+                keys_i = keys_from_frame(fr_i, self.grid)
+                bo_i = self.backbone(fr_i.features, keys_i, train)
+                ef, ek, eg = bo_i["encoded"]
+                maps.append(height_compression(ef, ek, eg))
+            bev = bev_align_params(
+                maps, batch["transform_param"], self.point_cloud_range,
+                self.voxel_size[0] * 8, fusion=self.align_method)
         st_features_2d = self.bev_backbone(bev, train)
         n_rois = self.num_rois if train else self.num_rois_test
         rpn_nms = dict(self.rpn_nms or {
