@@ -13,12 +13,13 @@ generously to 10 frames/s/GPU as a conservative (hard-to-beat) baseline.
 ``vs_baseline`` = our frames/sec/chip divided by 10; north star >= 5.0.
 
 Frames: lidar-realistic synthetic (cpd_tpu/utils/synthetic.py -- ground disk
-with 1/r range density, object surfaces, vertical clutter; ~127k occupied
+with 1/r range density, object surfaces, vertical clutter; ~126k occupied
 stage-0 voxels of the 150k cap, matching real Waymo frame statistics).
-Throughput is measured at BATCH size ``--batch`` (default 4): frames/s/chip
-is a throughput metric and batched eval is how both this framework's
-tools/test.py and the reference's eval_utils run the model; the cap audit
-below guarantees the batch buys no silent truncation.
+Batch: default 1. Measured (round 2): batching does NOT amortize -- the
+pipeline is gather/scatter-throughput bound, not dispatch bound (batch-4
+rulebooks 560 ms = 3.9x batch-1, backbone worse per frame, and 4x 150k-voxel
+frames pressure 16G HBM to the point of worker crashes). ``--batch`` remains
+for experiments.
 
 Caps: the MODEL-DEFAULT voxel caps (80k, 60k, 40k, 40k)
 (detector.py backbone_caps); the audit asserts no backbone stage saturates
@@ -37,7 +38,7 @@ REFERENCE_FPS_PER_CHIP_ESTIMATE = 10.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 

@@ -40,12 +40,14 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     max_cells = sparse.DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
 
     def stage_lut(k, gg):
-        # one dense LUT per stage level, shared by every builder that looks up
-        # that stage's keys; None (-> rank-join in the builders) above the
-        # LUT threshold
+        # one bitmap-rank LUT per stage level, shared by every builder that
+        # looks up that stage's keys; None (-> rank-join in the builders)
+        # above the LUT threshold. Bitmap vs dense int32 LUT measured at
+        # stage-0 scale: build 5.3 vs 20.1 ms, 13-tap packed lookups 10.3 vs
+        # 14.8 ms, and 16x less HBM (23 MB vs 371 MB per sample).
         if gg.num_cells > max_cells:
             return None
-        return sparse.build_dense_lut_batched(k, gg)
+        return sparse.build_bitmap_lut_batched(k, gg)
 
     lut0 = stage_lut(keys, g["x_conv1"])
     rbs["subm1"] = sparse.build_subm_rulebook_batched(keys, g["x_conv1"], lut=lut0)

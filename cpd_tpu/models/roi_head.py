@@ -259,7 +259,7 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
         eff_max = pool.QUERY_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
         if eff_use and grid.num_cells <= eff_max:
             from ..ops import sparse as _sparse
-            luts = _sparse.build_dense_lut_batched(keys, grid)
+            luts = _sparse.build_bitmap_lut_batched(keys, grid)
 
             def q_multi(qxyz, k, l):
                 return pool.voxel_query_multi(

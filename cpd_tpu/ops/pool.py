@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .sparse import (DENSE_LUT_MAX_CELLS, GridSpec, INVALID_KEY, SENTINEL,
-                     build_dense_lut, lookup, lookup_dense, lookup_dense_rows,
+                     build_bitmap_lut, build_dense_lut, lookup, lookup_dense, lookup_dense_rows,
                      lookup_packed_taps as sparse_lookup_packed_taps,
                      lookup_sorted_rows)
 from .geometry import rotate_points_along_z
@@ -266,7 +266,7 @@ def voxel_query_multi(
     )
     if use_lut:
         if lut is None:
-            lut = build_dense_lut(voxel_keys, grid)
+            lut = build_bitmap_lut(voxel_keys, grid)
         idx_all, found_all = sparse_lookup_packed_taps(
             lut, jnp.where(sq >= SENTINEL, 0, sq), union_list, grid,
             in_bounds & (sq[None, :] < SENTINEL),

@@ -174,9 +174,103 @@ def _lane_select(rows, lane):
     return jnp.sum(jnp.where(lanes == lane[:, None], rows, 0), axis=1)
 
 
+def build_bitmap_lut(keys, grid: GridSpec):
+    """(V,) sorted UNIQUE keys -> (ceil(cells/32), 2) int32 bitmap-rank table:
+    column 0 = 32-cell occupancy word, column 1 = exclusive prefix count of
+    occupied cells before the word.
+
+    row(key) = prefix[key >> 5] + popcount(word & ((1 << (key & 31)) - 1));
+    found    = (word >> (key & 31)) & 1.
+
+    16x smaller than the dense int32 LUT (at stage-0 scale 23 MB vs 371 MB)
+    and ~10x cheaper to build: no 371 MB fill -- one scatter-ADD of single
+    bits (keys are unique, so bits never collide within a word) plus a
+    cumsum over words. Rank equals the sorted row index by construction."""
+    cells = grid.num_cells
+    n_words = -(-cells // 32) + 1  # +1 drop slot for invalid keys
+    valid = keys != INVALID_KEY
+    w = jnp.where(valid, keys >> 5, n_words - 1)
+    bit = jnp.where(valid, keys & 31, 0)
+    words = jnp.zeros((n_words,), jnp.int32).at[w].add(
+        jnp.where(valid, jnp.int32(1) << bit, 0), mode="drop")
+    counts = jax.lax.population_count(words)
+    prefix = jnp.cumsum(counts) - counts  # exclusive
+    return jnp.stack([words, prefix], axis=1)[: n_words - 1]
+
+
+def _bitmap_rank(word, prefix, bit):
+    """row + found of a (word, prefix) pair at bit position ``bit`` (0..31)."""
+    mask = (jnp.int32(1) << bit) - jnp.int32(1)
+    row = prefix + jax.lax.population_count(word & mask)
+    found = ((word >> bit) & 1).astype(bool)
+    return row, found
+
+
+def lookup_bitmap(bm, queries, query_ok):
+    """Bitmap-rank lookup: queries (V,) int32 cells -> (idx, found)."""
+    n_words = bm.shape[0]
+    safe_q = jnp.where(query_ok, queries, 0)
+    pair = bm[jnp.clip(safe_q >> 5, 0, n_words - 1)]  # (V, 2)
+    row, hit = _bitmap_rank(pair[:, 0], pair[:, 1], safe_q & 31)
+    found = query_ok & hit
+    return jnp.where(found, row, 0).astype(jnp.int32), found
+
+
+def lookup_bitmap_rows(bm, queries, query_ok):
+    """lookup_bitmap for (P, V) tap-major queries, one row gather per tap."""
+    p = queries.shape[0]
+    n_words = bm.shape[0]
+    safe_q = jnp.where(query_ok, queries, 0)
+    rows, hits = [], []
+    for t in range(p):
+        pair = bm[jnp.clip(safe_q[t] >> 5, 0, n_words - 1)]
+        r, h = _bitmap_rank(pair[:, 0], pair[:, 1], safe_q[t] & 31)
+        rows.append(r)
+        hits.append(h)
+    found = query_ok & jnp.stack(hits)
+    return jnp.where(found, jnp.stack(rows), 0).astype(jnp.int32), found
+
+
+def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query_ok):
+    """Run-packed bitmap-rank lookups: one (or two) 8-byte row gathers per
+    dx-RUN of taps (cells c..c+span-1 touch at most 2 adjacent 32-bit words
+    for span <= 31). Mirrors :func:`lookup_packed_taps` on the bitmap table."""
+    p = len(offsets_zyx)
+    n_words = bm.shape[0]
+    rows = [None] * p
+    hits = [None] * p
+    for d0, run in _delta_runs(offsets_zyx, grid):
+        span = run[-1][0] - d0 + 1
+        c0 = base_cells + d0
+        need_two = span > 1  # a run can straddle the word boundary
+        # single-word runs may sit in the LAST word -- clip to n-1 there;
+        # two-word runs clip to n-2 so the +1 row stays in range (a last-word
+        # query then reads it via in_next)
+        w0 = jnp.clip(c0 >> 5, 0, n_words - 2 if need_two else n_words - 1)
+        pair0 = bm[w0]
+        if need_two:
+            pair1 = bm[w0 + 1]
+        for d, t in run:
+            cell = base_cells + d
+            in_next = (cell >> 5) > w0
+            if need_two:
+                word = jnp.where(in_next, pair1[:, 0], pair0[:, 0])
+                pref = jnp.where(in_next, pair1[:, 1], pair0[:, 1])
+            else:
+                word, pref = pair0[:, 0], pair0[:, 1]
+            r, h = _bitmap_rank(word, pref, cell & 31)
+            rows[t] = r
+            hits[t] = h
+    found = query_ok & jnp.stack(hits)
+    return jnp.where(found, jnp.stack(rows), 0).astype(jnp.int32), found
+
+
 def lookup_dense(lut, queries, query_ok):
-    """LUT path: queries (V,) int32 cell keys into the 2-D packed LUT;
-    query_ok masks in-bounds rows. Returns (idx clamped >=0, found)."""
+    """LUT path: queries (V,) int32 cell keys into the 2-D packed LUT
+    (last dim 4) or bitmap-rank table (last dim 2); query_ok masks in-bounds
+    rows. Returns (idx clamped >=0, found)."""
+    if lut.shape[-1] == 2:
+        return lookup_bitmap(lut, queries, query_ok)
     safe_q = jnp.where(query_ok, queries, 0)
     rows = _lane_select(lut[safe_q >> 2], safe_q & 3)
     found = query_ok & (rows >= 0)
@@ -189,6 +283,8 @@ def lookup_dense_rows(lut, queries, query_ok):
     One flattened (P*V,)-index gather lowers to the slow scalar path on TPU
     (see gather_rows_per_tap); P separate row gathers from the packed 2-D
     table run at HBM latency (16.2 ms / 13 taps at stage-0 scale)."""
+    if lut.shape[-1] == 2:
+        return lookup_bitmap_rows(lut, queries, query_ok)
     p = queries.shape[0]
     safe_q = jnp.where(query_ok, queries, 0)
     rows = jnp.stack([
@@ -227,12 +323,15 @@ def lookup_packed_taps(lut, base_cells, offsets_zyx, grid: GridSpec, query_ok):
     dx-adjacent cells roughly halves the number of latency-bound rows; the
     per-tap lane selection is cheap VPU work.
 
-    lut: (padded_cells/4, 4) int32 from :func:`build_dense_lut`;
-    base_cells: (V,) int32 base cell per query row (any value when not ok);
-    offsets_zyx: STATIC list of P (dz, dy, dx) taps; query_ok: (P, V) bool
-    per-tap validity (in-bounds & valid source row).
+    lut: (padded_cells/4, 4) int32 from :func:`build_dense_lut`, or a
+    (words, 2) bitmap-rank table from :func:`build_bitmap_lut` (dispatched
+    by last dim); base_cells: (V,) int32 base cell per query row (any value
+    when not ok); offsets_zyx: STATIC list of P (dz, dy, dx) taps;
+    query_ok: (P, V) bool per-tap validity (in-bounds & valid source row).
     Returns (idx (P, V) int32 clamped >= 0, found (P, V) bool).
     """
+    if lut.shape[-1] == 2:
+        return lookup_bitmap_packed_taps(lut, base_cells, offsets_zyx, grid, query_ok)
     p = len(offsets_zyx)
     cells4 = lut.shape[0]
     vals = [None] * p
@@ -288,38 +387,53 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
     safe_keys = jnp.where(valid, keys, SENTINEL)
 
     offsets = [(dz - cz, dy - cy, dx - cx) for dz, dy, dx in _kernel_offsets(kernel)]
-    # symmetry: if keys[j] == keys[i] + d then keys[i] == keys[j] - d, so only
-    # the positive-delta half of the window needs resolving; the negative half
-    # is the inverse pair map (one scatter per row) -- halves the work.
+    arange = jnp.arange(n, dtype=jnp.int32)
+
+    def in_bounds_of(offs_list):
+        offs = jnp.asarray(offs_list, jnp.int32)  # (P, 3) zyx
+        nc = coords[None, :, :] + offs[:, None, :]
+        return (
+            (nc[..., 2] >= 0) & (nc[..., 2] < grid.nx)
+            & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
+            & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
+        )
+
+    if lut is not None or grid.num_cells <= (
+            DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells):
+        # LUT path: look up ALL non-center taps directly. Measured (round 2,
+        # stage-0 scale, bitmap table): 26 direct packed lookups = 17.6 ms vs
+        # 13 positive + the (13, V+1) inversion scatter = 24.9 ms -- the
+        # mirror-symmetry trick only pays on the rank-join path below.
+        others = [o for o in offsets if o != (0, 0, 0)]
+        if lut is None:
+            lut = build_bitmap_lut(keys, grid)
+        idx_o, found_o = lookup_packed_taps(
+            lut, keys, others, grid, in_bounds_of(others) & valid[None, :]
+        )
+        col = {o: k for k, o in enumerate(others)}
+        idx_cols = [arange if o == (0, 0, 0) else idx_o[col[o]] for o in offsets]
+        found_cols = [valid if o == (0, 0, 0) else found_o[col[o]] for o in offsets]
+        return Rulebook(
+            idx=jnp.stack(idx_cols, axis=1),
+            found=jnp.stack(found_cols, axis=1),
+            out_keys=keys,
+            out_valid=valid,
+        )
+
+    # rank-join path (grids above the LUT threshold): resolve only the
+    # positive-delta half -- if keys[j] == keys[i] + d then keys[i] ==
+    # keys[j] - d, so the negative half is the inverse pair map (one packed
+    # scatter) and the (P, V+Q) sort runs at half the rows.
     pos_offsets = [o for o in offsets
                    if (o[0] * grid.ny + o[1]) * grid.nx + o[2] > 0]
     deltas = jnp.asarray(
         [(oz * grid.ny + oy) * grid.nx + ox for oz, oy, ox in pos_offsets], jnp.int32
     )
-    # wrap rejection: the neighbor coordinate must be in bounds per dim
-    offs = jnp.asarray(pos_offsets, jnp.int32)  # (P, 3) zyx
-    nc = coords[None, :, :] + offs[:, None, :]
-    in_bounds = (
-        (nc[..., 2] >= 0) & (nc[..., 2] < grid.nx)
-        & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
-        & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
-    )
-    if lut is not None or grid.num_cells <= (
-            DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells):
-        if lut is None:
-            lut = build_dense_lut(keys, grid)
-        idx_all, found_all = lookup_packed_taps(
-            lut, keys, pos_offsets, grid, in_bounds & valid[None, :]
-        )
-    else:
-        queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
-        idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
-        found_all = found_all & in_bounds & valid[None, :]
+    in_bounds = in_bounds_of(pos_offsets)
+    queries = safe_keys[None, :] + deltas[:, None]  # (P, V) sorted rows
+    idx_all, found_all = lookup_sorted_rows(safe_keys, queries)
+    found_all = found_all & in_bounds & valid[None, :]
 
-    # invert each positive row into its mirror: matched pairs are injective.
-    # ONE packed scatter (row+1; 0 = no pair) -- the i32/bool scatter pair
-    # costs ~5.4 ms each at stage-1 scale
-    arange = jnp.arange(n, dtype=jnp.int32)
     safe_tgt = jnp.where(found_all, idx_all, n)  # scatter drop slot
     packed = jnp.zeros((len(pos_offsets), n + 1), jnp.int32).at[
         jnp.arange(len(pos_offsets))[:, None], safe_tgt
@@ -445,7 +559,7 @@ def _build_conv_rulebook_jit(
     if lut is not None or grid.num_cells <= (
             DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells):
         if lut is None:
-            lut = build_dense_lut(keys, grid)
+            lut = build_bitmap_lut(keys, grid)
         # tap query cells are base + const delta (base = strided origin cell),
         # so the run-packed lookup applies: 18 wide row gathers for a 27-tap
         # kernel instead of 27 narrow ones
@@ -509,7 +623,7 @@ def build_inverse_rulebook(
     qkeys = ((oc[..., 0] * out_grid.ny + oc[..., 1]) * out_grid.nx + oc[..., 2]).astype(jnp.int32)
     if out_lut is not None or out_grid.num_cells <= (
             DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells):
-        lut = out_lut if out_lut is not None else build_dense_lut(out_keys, out_grid)
+        lut = out_lut if out_lut is not None else build_bitmap_lut(out_keys, out_grid)
         idx_all, found_all = lookup_dense_rows(lut, qkeys, ok)
     else:
         # output key is monotone nondecreasing in the input key per tap, so
@@ -788,6 +902,11 @@ def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, o
 def build_dense_lut_batched(keys, grid: GridSpec):
     """vmap of build_dense_lut: (B, V) keys -> (B, num_cells) int32."""
     return jax.vmap(lambda k: build_dense_lut(k, grid))(keys)
+
+
+def build_bitmap_lut_batched(keys, grid: GridSpec):
+    """vmap of build_bitmap_lut: (B, V) keys -> (B, words, 2) int32."""
+    return jax.vmap(lambda k: build_bitmap_lut(k, grid))(keys)
 
 
 @partial(jax.jit, static_argnames=("grid", "channels"))

@@ -244,3 +244,52 @@ def test_dense_lut_corner_voxel_not_clobbered():
     idx, found = sparse.lookup_dense(lut, jnp.asarray([0, 1]), jnp.asarray([True, True]))
     assert bool(found[0]) and int(idx[0]) == 0
     assert not bool(found[1])
+
+
+def test_bitmap_lut_matches_dense():
+    """bitmap-rank LUT: row/found agree with the dense LUT on random keys."""
+    rng = np.random.default_rng(21)
+    grid = GridSpec(37, 29, 5)
+    n_occ = 400
+    keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False)).astype(np.int32)
+    kk = np.concatenate([keys, np.full(60, INVALID_KEY, np.int32)])
+    bm = sparse.build_bitmap_lut(jnp.asarray(kk), grid)
+    lut = sparse.build_dense_lut(jnp.asarray(kk), grid)
+    q = rng.integers(0, grid.num_cells, 1000).astype(np.int32)
+    ok = jnp.ones(1000, bool)
+    ib, fb = sparse.lookup_bitmap(bm, jnp.asarray(q), ok)
+    idd, fd = sparse.lookup_dense(lut, jnp.asarray(q), ok)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(idd))
+    # row rank == sorted position
+    hit = np.asarray(fb)
+    pos = np.searchsorted(keys, q[hit])
+    np.testing.assert_array_equal(np.asarray(ib)[hit], pos)
+
+
+def test_bitmap_packed_taps_matches_dense_packed():
+    rng = np.random.default_rng(22)
+    grid = GridSpec(23, 19, 7)
+    n_occ = 350
+    keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False)).astype(np.int32)
+    kk = np.concatenate([keys, np.full(50, INVALID_KEY, np.int32)])
+    bm = sparse.build_bitmap_lut(jnp.asarray(kk), grid)
+    lut = sparse.build_dense_lut(jnp.asarray(kk), grid)
+    offsets = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
+    coords = np.stack([kk // (grid.nx * grid.ny),
+                       (kk // grid.nx) % grid.ny,
+                       kk % grid.nx], axis=1)
+    offs = np.asarray(offsets)
+    nc = coords[None] + offs[:, None]
+    ok = ((nc[..., 2] >= 0) & (nc[..., 2] < grid.nx)
+          & (nc[..., 1] >= 0) & (nc[..., 1] < grid.ny)
+          & (nc[..., 0] >= 0) & (nc[..., 0] < grid.nz)
+          & (kk != INVALID_KEY)[None])
+    ib, fb = sparse.lookup_bitmap_packed_taps(
+        bm, jnp.asarray(kk), offsets, grid, jnp.asarray(ok))
+    idd, fd = sparse.lookup_packed_taps(
+        lut, jnp.asarray(kk), offsets, grid, jnp.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
+    np.testing.assert_array_equal(np.asarray(ib) * np.asarray(fb),
+                                  np.asarray(idd) * np.asarray(fd))
