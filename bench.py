@@ -51,6 +51,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from cpd_tpu.models.detector import VoxelRCNN
+    from cpd_tpu.utils.common import enable_compile_cache
+
+    enable_compile_cache()
     from cpd_tpu.utils.synthetic import make_lidar_frame
 
     model = VoxelRCNN(

@@ -96,6 +96,12 @@ class VoxelRCNN(nn.Module):
     # de-augmented into the stage-0 frame and fused by ``align_method``
     align_stages: int = 1
     align_method: str = "mean"  # first | max | mean
+    # pack the S align-stage clones into the batch axis and run ONE backbone
+    # pass at (S*B) rows -- the TPU equivalent of the reference's multi-stage
+    # packing (spconv_backbone.py:241-260,332-393: stages share weights, so
+    # their sparse tensors are folded into one batch and the rulebooks/GEMMs
+    # dispatch once). False = S sequential backbone passes (lower peak HBM)
+    pack_align_stages: bool = True
 
     def setup(self):
         self.vox_spec = VoxelizerSpec.create(
@@ -153,7 +159,31 @@ class VoxelRCNN(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         """batch: points (B, P, C), points_valid (B, P); train additionally
         points1/points1_valid (proto-completed view) when mm."""
-        frame = voxelize_batch(batch["points"], self.vox_spec, batch.get("points_valid"))
+        b = batch["points"].shape[0]
+        aligning = (self.align_stages > 1 and "transform_param" in batch
+                    and "points_stage1" in batch)
+        # pack at EVAL only, like the reference (spconv_backbone.py:241): in
+        # training, per-stage BatchNorm batch statistics must match the
+        # sequential formulation; at eval BN uses running stats so packing is
+        # numerically identical
+        packing = aligning and self.pack_align_stages and not train
+        if packing:
+            # X_TRAIN/X_TEST stage clones share the backbone weights: fold
+            # them into the batch axis so the whole conv ladder (rulebooks +
+            # GEMMs) dispatches ONCE at (S*B) rows instead of S times -- the
+            # reference's multi-stage packing (spconv_backbone.py:241-260)
+            pts = jnp.concatenate(
+                [batch["points"]] + [batch[f"points_stage{i}"]
+                                     for i in range(1, self.align_stages)], axis=0)
+            ones = jnp.ones(batch["points"].shape[:2], bool)
+            pv = jnp.concatenate(
+                [batch.get("points_valid", ones)]
+                + [batch.get(f"points_stage{i}_valid", ones)
+                   for i in range(1, self.align_stages)], axis=0)
+            frame = voxelize_batch(pts, self.vox_spec, pv)
+        else:
+            frame = voxelize_batch(batch["points"], self.vox_spec,
+                                   batch.get("points_valid"))
         keys = keys_from_frame(frame, self.grid)
         feats_mm = keys_mm = None
         if self.mm and train:
@@ -168,10 +198,18 @@ class VoxelRCNN(nn.Module):
 
         enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
         bev = height_compression(enc_feats, enc_keys, enc_grid)
-        if (self.align_stages > 1 and "transform_param" in batch
-                and "points_stage1" in batch):
-            # X_TRAIN stage clones ride ``points_stage{i}`` here ("points1" is
-            # taken by the MM proto-completed view in this batch protocol)
+        if packing:
+            maps = [bev[i * b:(i + 1) * b] for i in range(self.align_stages)]
+            bev = bev_align_params(
+                maps, batch["transform_param"], self.point_cloud_range,
+                self.voxel_size[0] * 8, fusion=self.align_method)
+            # only the stage-0 rows feed the RoI head / downstream consumers
+            backbone_out = {k: (f[:b], ky[:b], g)
+                            for k, (f, ky, g) in backbone_out.items()}
+        elif aligning:
+            # unpacked fallback: S sequential shared-weight backbone passes
+            # (lower peak HBM; points_stage{i} naming -- "points1" is taken by
+            # the MM proto-completed view in this batch protocol)
             maps = [bev]
             for i in range(1, self.align_stages):
                 fr_i = voxelize_batch(batch[f"points_stage{i}"], self.vox_spec,

@@ -34,8 +34,10 @@ class ResidualCoder:
         dyt = jnp.log(dyg / dya)
         dzt = jnp.log(dzg / dza)
         if self.encode_angle_by_sincos:
-            rt = [jnp.sin(boxes[..., 6]) * jnp.cos(anchors[..., 6]) - jnp.cos(boxes[..., 6]) * jnp.sin(anchors[..., 6]),
-                  jnp.cos(boxes[..., 6]) * jnp.cos(anchors[..., 6]) + jnp.sin(boxes[..., 6]) * jnp.sin(anchors[..., 6])]
+            # component residuals in reference order [cos, sin]
+            # (box_coder_utils.py:37-40), NOT a rotation delta
+            rt = [jnp.cos(boxes[..., 6]) - jnp.cos(anchors[..., 6]),
+                  jnp.sin(boxes[..., 6]) - jnp.sin(anchors[..., 6])]
         else:
             rt = [boxes[..., 6] - anchors[..., 6]]
         rest = [boxes[..., 7 + i] - anchors[..., 7 + i] for i in range(boxes.shape[-1] - 7)]
@@ -54,9 +56,10 @@ class ResidualCoder:
         dyg = jnp.exp(encodings[..., 4]) * dya
         dzg = jnp.exp(encodings[..., 5]) * dza
         if self.encode_angle_by_sincos:
-            rg_sin = encodings[..., 6]
-            rg_cos = encodings[..., 7]
-            rg = jnp.arctan2(rg_sin, rg_cos) + anchors[..., 6]
+            # inverse of the component residuals (box_coder_utils.py:71-74)
+            rg_cos = encodings[..., 6] + jnp.cos(anchors[..., 6])
+            rg_sin = encodings[..., 7] + jnp.sin(anchors[..., 6])
+            rg = jnp.arctan2(rg_sin, rg_cos)
             rest_start = 8
         else:
             rg = encodings[..., 6] + anchors[..., 6]
@@ -69,19 +72,48 @@ class ResidualCoder:
 
 
 class ResidualCoderV2(ResidualCoder):
-    """V2: identical residual math but z encoded at box bottom like the reference
-    (box_coder_utils.py:81): z target references the box bottom face."""
+    """V2 (box_coder_utils.py:81): UNNORMALIZED residuals -- plain center
+    deltas (no diagonal scaling), ABSOLUTE log-dims (no anchor ratio),
+    absolute sincos (or residual heading), and z referenced at the box
+    BOTTOM face of both box and anchor."""
 
     def encode(self, boxes, anchors):
-        boxes = boxes.at[..., 2].add(-boxes[..., 5] / 2)
-        anchors = anchors.at[..., 2].add(-anchors[..., 5] / 2)
-        out = super().encode(boxes, anchors)
-        return out
+        dxg = jnp.clip(boxes[..., 3], min=1e-5)
+        dyg = jnp.clip(boxes[..., 4], min=1e-5)
+        dzg = jnp.clip(boxes[..., 5], min=1e-5)
+        dza = jnp.clip(anchors[..., 5], min=1e-5)
+        za = anchors[..., 2] - dza / 2
+        zg = boxes[..., 2] - dzg / 2
+        xt = boxes[..., 0] - anchors[..., 0]
+        yt = boxes[..., 1] - anchors[..., 1]
+        zt = zg - za
+        dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        if self.encode_angle_by_sincos:
+            rt = [jnp.cos(boxes[..., 6]), jnp.sin(boxes[..., 6])]
+        else:
+            rt = [boxes[..., 6] - anchors[..., 6]]
+        rest = [boxes[..., 7 + i] - anchors[..., 7 + i]
+                for i in range(boxes.shape[-1] - 7)]
+        return jnp.stack([xt, yt, zt, dxt, dyt, dzt, *rt, *rest], axis=-1)
 
     def decode(self, encodings, anchors):
-        anchors = anchors.at[..., 2].add(-anchors[..., 5] / 2)
-        out = super().decode(encodings, anchors)
-        return out.at[..., 2].add(out[..., 5] / 2)
+        dza = jnp.clip(anchors[..., 5], min=1e-5)
+        za = anchors[..., 2] - dza / 2
+        xg = encodings[..., 0] + anchors[..., 0]
+        yg = encodings[..., 1] + anchors[..., 1]
+        dxg = jnp.exp(encodings[..., 3])
+        dyg = jnp.exp(encodings[..., 4])
+        dzg = jnp.exp(encodings[..., 5])
+        zg = encodings[..., 2] + za + dzg / 2
+        if self.encode_angle_by_sincos:
+            rg = jnp.arctan2(encodings[..., 7], encodings[..., 6])
+            rest_start = 8
+        else:
+            rg = encodings[..., 6] + anchors[..., 6]
+            rest_start = 7
+        rest = [encodings[..., rest_start + i] + anchors[..., 7 + i]
+                for i in range(anchors.shape[-1] - 7)]
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg, *rest], axis=-1)
 
 
 class PointResidualCoder:

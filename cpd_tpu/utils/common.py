@@ -10,6 +10,25 @@ from pathlib import Path
 import numpy as np
 
 
+def enable_compile_cache(path: str = "~/.cache/jax_comp") -> None:
+    """Turn on JAX's persistent compilation cache (works under the axon
+    tunnel too: measured 14 s -> 1 s warm restart for a small program; the
+    big sparse-conv programs save minutes per process start). Safe to call
+    multiple times; honors an explicit JAX_COMPILATION_CACHE_DIR env."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser(path))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # read-only fs / unsupported backend: run uncached
+        logging.getLogger("cpd_tpu").warning("compile cache disabled: %s", e)
+
+
 def create_logger(log_file=None, rank: int = 0, name: str = "cpd_tpu"):
     """File+console logger, rank-0 only to console (common_utils.py:85)."""
     logger = logging.getLogger(name)

@@ -108,29 +108,43 @@ def corner_loss_lidar(pred_boxes, gt_boxes, weights, beta: float = 1.0):
     return jnp.mean(loss, axis=-1) * weights
 
 
-def _axis_iou_1d(c1, d1, c2, d2):
-    """1D IoU of intervals centered at c with extent d."""
+def _axis_overlap_ratio(c1, d1, c2, d2):
+    """Reference ``compute_iou`` (bbloss.py:21-29): 1D overlap divided by the
+    HULL extent (max-min of the two intervals), NOT the union. The hull is
+    clipped at 1e-6 (the reference divides unguarded; identical for any
+    non-degenerate box)."""
     lo = jnp.maximum(c1 - d1 / 2, c2 - d2 / 2)
     hi = jnp.minimum(c1 + d1 / 2, c2 + d2 / 2)
     inter = jnp.clip(hi - lo, min=0.0)
-    union = d1 + d2 - inter
-    return inter / jnp.clip(union, min=1e-6)
+    hull = jnp.clip(jnp.maximum(c1 + d1 / 2, c2 + d2 / 2)
+                    - jnp.minimum(c1 - d1 / 2, c2 - d2 / 2), min=1e-6)
+    return inter / hull
+
+
+def _limit_angle(ang):
+    """Wrap to (-pi, pi] (bbloss.py:5-12)."""
+    ang = ang % (2 * jnp.pi)
+    ang = jnp.where(ang > jnp.pi, ang - 2 * jnp.pi, ang)
+    return jnp.where(ang < -jnp.pi, ang + 2 * jnp.pi, ang)
 
 
 def bb_loss(pred_boxes, gt_boxes):
-    """CPD box-consistency loss (cpd/utils/bbloss.py:30).
+    """CPD box-consistency loss, exact reference formula (cpd/utils/bbloss.py:40).
 
-    1 - (prod of per-axis 1D IoUs, angle-weighted) plus angle cosine distance
-    and center L2, scaled by 1.5. pred/gt: (..., 7). Returns (...,).
+    1 - (prod of per-axis overlap/hull ratios, x (1 - |sin dr|)) plus
+    1.25 (1 - |cos dr|) and the SQUARED center distance, all x 1.5.
+    pred/gt: (..., 7). Returns (...,). Golden-tested against the reference
+    torch code in tests/test_reference_parity_torch.py.
     """
-    iou_x = _axis_iou_1d(pred_boxes[..., 0], pred_boxes[..., 3], gt_boxes[..., 0], gt_boxes[..., 3])
-    iou_y = _axis_iou_1d(pred_boxes[..., 1], pred_boxes[..., 4], gt_boxes[..., 1], gt_boxes[..., 4])
-    iou_z = _axis_iou_1d(pred_boxes[..., 2], pred_boxes[..., 5], gt_boxes[..., 2], gt_boxes[..., 5])
+    iou_x = _axis_overlap_ratio(pred_boxes[..., 0], pred_boxes[..., 3], gt_boxes[..., 0], gt_boxes[..., 3])
+    iou_y = _axis_overlap_ratio(pred_boxes[..., 1], pred_boxes[..., 4], gt_boxes[..., 1], gt_boxes[..., 4])
+    iou_z = _axis_overlap_ratio(pred_boxes[..., 2], pred_boxes[..., 5], gt_boxes[..., 2], gt_boxes[..., 5])
+    ang_w = 1.0 - jnp.abs(jnp.sin(_limit_angle(pred_boxes[..., 6])
+                                  - _limit_angle(gt_boxes[..., 6])))
+    iou3d = iou_x * iou_y * iou_z * ang_w
     ang = pred_boxes[..., 6] - gt_boxes[..., 6]
-    angle_weight = (1.0 + jnp.cos(ang)) / 2.0
-    iou3d = iou_x * iou_y * iou_z * angle_weight
     angle_term = 1.25 * (1.0 - jnp.abs(jnp.cos(ang)))
-    center_term = safe_norm(pred_boxes[..., :3] - gt_boxes[..., :3])
+    center_term = jnp.sum((pred_boxes[..., :3] - gt_boxes[..., :3]) ** 2, axis=-1)
     return 1.5 * ((1.0 - iou3d) + angle_term + center_term)
 
 

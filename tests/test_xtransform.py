@@ -126,3 +126,14 @@ def test_detector_align_stages_smoke():
     # stage clones must go through the SAME backbone parameters (no extra tree)
     assert set(variables["params"].keys()) >= {"backbone", "bev_backbone"}
     assert "backbone_1" not in variables["params"]
+
+    # the packed (S*B one-pass) and sequential (S passes) stage routings are
+    # numerically identical: packing only folds the batch axis
+    model_seq = model.clone(pack_align_stages=False)
+    out_seq = model_seq.apply(variables, batch, False)
+    for k in ("batch_box_preds", "batch_cls_preds"):
+        if k in out and k in out_seq:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(out_seq[k]),
+                                       rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["rois"]), np.asarray(out_seq["rois"]),
+                               rtol=2e-2, atol=2e-3)

@@ -77,6 +77,9 @@ def main(argv=None, dataset=None, state=None):
     args = parse_args(argv)
 
     import jax
+
+    from cpd_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
     from cpd_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
     from cpd_tpu.datasets import build_dataloader
     from cpd_tpu.models import build_network

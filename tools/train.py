@@ -63,6 +63,9 @@ def main(argv=None, dataset=None):
 
     import jax
 
+    from cpd_tpu.utils.common import enable_compile_cache
+    enable_compile_cache()
+
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs, cfg)
