@@ -126,7 +126,10 @@ class SubMConvBN(nn.Module):
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
                                                compute_dtype=self.compute_dtype,
                                                transpose="mirror",
-                                               out_dtype=self.compute_dtype or jnp.float32)
+                                               out_dtype=self.compute_dtype or jnp.float32,
+                                               # 27-volume kernels here are 3x3x3
+                                               # (dx-fastest runs of 3)
+                                               win_run=3 if self.kernel_volume == 27 else 1)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         if self.relu:
             out = nn.relu(out)
@@ -148,7 +151,8 @@ class StridedConvBN(nn.Module):
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
                                                compute_dtype=self.compute_dtype,
                                                transpose=transpose,
-                                               out_dtype=self.compute_dtype or jnp.float32)
+                                               out_dtype=self.compute_dtype or jnp.float32,
+                                               win_run=3 if self.kernel_volume == 27 else 1)
         out = MaskedBatchNorm(axis_name=self.bn_axis_name)(out, rulebook.out_valid, train)
         return nn.relu(out)
 

@@ -1,12 +1,16 @@
 """Pallas fused gather-GEMM kernels for the sparse-conv im2col path.
 
-STATUS (kept for round 2+): correct in interpret mode (tests/test_pallas_conv.py)
-but NOT in production -- Mosaic currently rejects the in-kernel row gather
-("Cannot do int indexing on TPU"; take_along_axis requires same-shape
-input/indices). The production conv instead uses the measured-fastest XLA
-formulation: K separate per-tap (N,)-row gathers (near-bandwidth; the
-flattened (N*K,) gather lowers ~12x slower above ~2M indices) + one GEMM
-with a bf16 result (sparse.py::gather_rows_per_tap / _gather_gemm).
+STATUS (kept for round 3+): correct in interpret mode (tests/test_pallas_conv.py)
+but NOT in production -- Mosaic (jax 0.9.0) rejects every in-kernel gather
+formulation probed on the real chip (scripts/exp_r2h_gather2.py,
+exp_r2i_lane_gather.py): fancy int row indexing ("Cannot do int indexing on
+TPU"), take_along_axis along axis 0 (AssertionError in lowering), and the
+lane-transposed dynamic gather take_along_axis(tableT, idx, axis=-1)
+(AssertionError; its XLA lowering outside pallas is also 100x slow). The
+production conv instead uses the measured-fastest XLA formulations
+(sparse.py::_gather_gemm): ONE flattened (B*N*K,)-row gather below
+FLAT_GATHER_MAX_IDX total indices, K per-tap (N,)-row gathers above it,
++ one GEMM with a bf16 result.
 
 If/when Mosaic grows a vectorized VMEM row-gather, these kernels remove the
 remaining HBM round-trip of the im2col tensor:

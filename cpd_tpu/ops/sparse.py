@@ -695,7 +695,104 @@ def gather_rows_tap_major(features, idx, found):
     return jnp.where(jnp.swapaxes(found, 1, 2)[..., None], gathered, 0)
 
 
-def _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype=jnp.float32):
+# below this many total indices, ONE flattened (B*N*K,)-row gather beats the
+# K per-tap gathers: XLA's gather fast path holds and the single op saves K-1
+# dispatch latencies (measured, scripts/exp_r2h_gather2.py: subm3 48k*27
+# flattened 9.6 vs per-tap 19.6 ms, subm4 24k*27: 4.8 vs 8.6; above the ~2M
+# fast-path cap the flattened form falls off a cliff -- subm1 120k*27: 14.0
+# vs 11.2 -- so the deep stages flatten and the wide stages stay per-tap)
+FLAT_GATHER_MAX_IDX = 1_500_000
+
+
+def gather_rows_flat(features, idx, found):
+    """Masked im2col as ONE flattened row gather: (B, V, C) x (B, N, K) ->
+    (B, N, K, C). Only use below FLAT_GATHER_MAX_IDX total indices."""
+    b, v, c = features.shape
+    off = (jnp.arange(b, dtype=idx.dtype) * v)[:, None, None]
+    g = features.reshape(b * v, c)[(idx + off).reshape(-1)]
+    g = g.reshape(b, idx.shape[1], idx.shape[2], c)
+    return jnp.where(found[..., None], g, 0)
+
+
+def gather_rows_windowed(features, idx, found, flat=False):
+    """Masked im2col via dx-RUN window gathers: (B, V, C) x (B, N, K) ->
+    (B, N, K, C), for rulebooks whose K taps are ordered dx-fastest in runs
+    of 3 consecutive dx (the ``_kernel_offsets`` order of any kernel with
+    kx == 3; K must be a multiple of 3).
+
+    The im2col gathers are HBM-TRANSACTION-bound (~3.5-6 ns/row at C <= 64
+    regardless of row width). Within a dx-run the gather rows are RANKS of 3
+    CONSECUTIVE keys in the sorted key table, so max(idx) - min(idx) <= 2
+    among found taps (at most two occupied cells can separate keys k-1 and
+    k+1). One (3C)-wide row fetched from a shifted-concat window table
+    therefore covers the whole run: K/3 gathers instead of K, with the
+    per-tap block selected by two vectorized where's. Measured
+    (scripts/exp_r2j_window_gather.py, bf16 incl. the conv GEMM): 2.75x at
+    stage-1 scale (120k x 27, C=16: 7.6 vs 20.8 ms per-tap), 1.26x at
+    stage 2 (flat variant), 1.18x at stage 3; C=128 prefers flat/per-tap.
+
+    The rank-adjacency invariant holds for every rulebook built here (subm,
+    strided forward, mirror-transpose, inverse): all derive idx as the rank
+    of ``base_key + static_delta`` with dx-major tap order.
+    """
+    b, v, c = features.shape
+    n, k = idx.shape[1], idx.shape[2]
+    assert k % 3 == 0, "windowed gather requires dx-runs of 3"
+    g = k // 3
+    shift1 = jnp.pad(features[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    shift2 = jnp.pad(features[:, 2:], ((0, 0), (0, 2), (0, 0)))
+    wtab = jnp.concatenate([features, shift1, shift2], axis=-1)  # (B, V, 3C)
+    idx_g = idx.reshape(b, n, g, 3)
+    found_g = found.reshape(b, n, g, 3)
+    big = jnp.where(found_g, idx_g, jnp.int32(1 << 30))
+    base = jnp.min(big, axis=-1)  # (b, n, g) rank of the run's smallest found key
+    base = jnp.where(jnp.any(found_g, -1), base, 0)
+    base = jnp.minimum(base, v - 1)
+    if flat:
+        off = (jnp.arange(b, dtype=base.dtype) * v)[:, None, None]
+        wins = wtab.reshape(b * v, 3 * c)[(base + off).reshape(-1)]
+        wins = wins.reshape(b, n, g, 3, c)
+    else:
+        cols = [jnp.take_along_axis(wtab, base[:, :, j][..., None], axis=1)
+                for j in range(g)]
+        wins = jnp.stack(cols, axis=2).reshape(b, n, g, 3, c)
+    d = jnp.clip(idx_g - base[..., None], 0, 2)[..., None]  # (b, n, g, 3, 1)
+    sel = jnp.where(d == 0, wins[:, :, :, 0:1, :],
+                    jnp.where(d == 1, wins[:, :, :, 1:2, :],
+                              wins[:, :, :, 2:3, :]))
+    sel = jnp.where(found_g[..., None], sel, 0)
+    return sel.reshape(b, n, k, c)
+
+
+def _im2col_mode(idx_size, c, win_run):
+    """Static im2col formulation choice, measured on-chip per (size, width)
+    regime (scripts/exp_r2j_window_gather.py + exp_r2h_gather2.py)."""
+    if win_run == 3:
+        if c <= 16:
+            return "win"
+        if c <= 32:
+            return ("win-flat" if idx_size // 3 <= FLAT_GATHER_MAX_IDX
+                    else "win")
+        if c <= 64:
+            return "win"
+        # c >= 128: rows are wide enough to amortize the fetch latency
+    return "flat" if idx_size <= FLAT_GATHER_MAX_IDX else "per-tap"
+
+
+def _gather_by_mode(features, idx, found, mode):
+    """Dispatch to the chosen im2col formulation; all return (B, N, K, C)
+    except 'per-tap' which returns the tap-major (B, K, N, C) layout."""
+    if mode == "win":
+        return gather_rows_windowed(features, idx, found, flat=False)
+    if mode == "win-flat":
+        return gather_rows_windowed(features, idx, found, flat=True)
+    if mode == "flat":
+        return gather_rows_flat(features, idx, found)
+    return gather_rows_tap_major(features, idx, found)
+
+
+def _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype=jnp.float32,
+                 win_run=1):
     """Masked im2col gather + one GEMM. features (B, V_in, C); idx/found
     (B, V_out, K); weights (K, C, Cout) -> (B, V_out, Cout) in ``out_dtype``.
 
@@ -705,16 +802,23 @@ def _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype=jnp.flo
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    gathered = gather_rows_tap_major(features, idx, found)  # (B, K, N, C)
+    mode = _im2col_mode(idx.size, features.shape[-1], win_run)
+    gathered = _gather_by_mode(features, idx, found, mode)
+    if mode == "per-tap":  # (B, K, N, C)
+        return jax.lax.dot_general(
+            gathered, weights,
+            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=out_dtype,
+        )  # (B, N, Cout)
     return jax.lax.dot_general(
-        gathered, weights,
-        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        gathered, weights,  # (B, N, K, C)
+        dimension_numbers=(((2, 3), (0, 1)), ((), ())),
         preferred_element_type=out_dtype,
     )  # (B, N, Cout)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _sparse_conv_core(compute_dtype, mirror, out_dtype, features, weights,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _sparse_conv_core(compute_dtype, mirror, out_dtype, win_run, features, weights,
                       idx, found, out_valid, t_idx, t_found):
     """Sparse conv with a gather-only backward (custom VJP).
 
@@ -725,17 +829,18 @@ def _sparse_conv_core(compute_dtype, mirror, out_dtype, features, weights,
     tap columns reversed), and dW re-gathers the im2col and contracts it
     against dY: all gathers + MXU GEMMs, zero scatters.
     """
-    return _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype)
+    return _gather_gemm(features, idx, found, weights, compute_dtype, out_dtype,
+                        win_run)
 
 
-def _sparse_conv_core_fwd(compute_dtype, mirror, out_dtype, features, weights,
+def _sparse_conv_core_fwd(compute_dtype, mirror, out_dtype, win_run, features, weights,
                           idx, found, out_valid, t_idx, t_found):
-    out = _sparse_conv_core(compute_dtype, mirror, out_dtype, features, weights,
+    out = _sparse_conv_core(compute_dtype, mirror, out_dtype, win_run, features, weights,
                             idx, found, out_valid, t_idx, t_found)
     return out, (features, weights, idx, found, out_valid, t_idx, t_found)
 
 
-def _sparse_conv_core_bwd(compute_dtype, mirror, out_dtype, res, g):
+def _sparse_conv_core_bwd(compute_dtype, mirror, out_dtype, win_run, res, g):
     """Backward = ONE transpose-rulebook gather + two GEMMs, zero scatters.
 
     With gt[u, k] = t_found[u,k] ? dY[t_idx[u,k]] : 0 (the per-tap transpose
@@ -756,23 +861,39 @@ def _sparse_conv_core_bwd(compute_dtype, mirror, out_dtype, res, g):
         t_idx = idx[..., ::-1]
         t_found = found[..., ::-1]
     gg = g.astype(compute_dtype) if compute_dtype is not None else g
-    gt = gather_rows_tap_major(gg, t_idx, t_found)  # (B, K, V_in, Cout)
-    # dX: contract (K, Cout) against W^T (K, Cout, Cin)
     w_t = jnp.transpose(weights, (0, 2, 1))
     if compute_dtype is not None:
         w_t = w_t.astype(compute_dtype)
-    dx = jax.lax.dot_general(
-        gt, w_t,
-        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
-        preferred_element_type=features.dtype,  # bf16 dX when activations are bf16
-    ).astype(features.dtype)
-    # dW: contract (b, u) between X (B,V,Cin) and gt (B,K,V,Cout) -> (Cin,K,Cout)
     feats = features.astype(compute_dtype) if compute_dtype is not None else features
-    dw = jax.lax.dot_general(
-        feats, gt,
-        dimension_numbers=(((0, 1), (0, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Cin, K, Cout)
+    # mirror reversal keeps the dx-run grouping: K % 3 == 0 and a full
+    # reversal maps run boundaries to run boundaries (order within a run is
+    # irrelevant to the window base/delta construction)
+    mode = _im2col_mode(t_idx.size, gg.shape[-1], win_run)
+    gt = _gather_by_mode(gg, t_idx, t_found, mode)
+    if mode == "per-tap":  # gt (B, K, V_in, Cout)
+        # dX: contract (K, Cout) against W^T (K, Cout, Cin)
+        dx = jax.lax.dot_general(
+            gt, w_t,
+            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=features.dtype,  # bf16 dX when activations are bf16
+        ).astype(features.dtype)
+        # dW: contract (b, u) between X (B,V,Cin) and gt (B,K,V,Cout) -> (Cin,K,Cout)
+        dw = jax.lax.dot_general(
+            feats, gt,
+            dimension_numbers=(((0, 1), (0, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Cin, K, Cout)
+    else:  # gt (B, V_in, K, Cout)
+        dx = jax.lax.dot_general(
+            gt, w_t,
+            dimension_numbers=(((2, 3), (0, 1)), ((), ())),
+            preferred_element_type=features.dtype,
+        ).astype(features.dtype)
+        dw = jax.lax.dot_general(
+            feats, gt,
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Cin, K, Cout)
     dw = jnp.transpose(dw, (1, 0, 2)).astype(weights.dtype)
     return dx, dw, None, None, None, None, None
 
@@ -811,13 +932,18 @@ def sparse_conv_apply(features, rulebook: Rulebook, weights, bias=None,
 
 def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
                               compute_dtype=None, transpose=None,
-                              out_dtype=jnp.float32):
+                              out_dtype=jnp.float32, win_run=1):
     """Batched sparse conv: features (B, V_in, Cin), rulebook fields with a
     leading batch axis -> (B, V_out, Cout). One big (B*V_out, K*Cin) GEMM.
 
     ``compute_dtype=jnp.bfloat16`` halves the im2col gather traffic (the HBM
     bottleneck of the layer) and runs the GEMM at full MXU rate; accumulation
     stays f32 via preferred_element_type.
+
+    ``win_run=3`` enables the windowed dx-run gather
+    (:func:`gather_rows_windowed`) -- pass it iff the rulebook's kernel has
+    kx == 3 (taps ordered dx-fastest in runs of 3, e.g. any 3x3x3 kernel;
+    NOT the (1,1,3) conv_out kernel whose taps step dz).
 
     ``transpose`` selects the gather-only custom-VJP backward (no scatters):
       * ``'mirror'`` -- submanifold convs: the transpose rulebook is the
@@ -843,28 +969,21 @@ def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
         else:
             t_idx, t_found = transpose.idx, transpose.found
         out = _sparse_conv_core(
-            compute_dtype, mirror, jnp.dtype(out_dtype), features, weights,
+            compute_dtype, mirror, jnp.dtype(out_dtype), win_run, features, weights,
             rulebook.idx, rulebook.found, rulebook.out_valid, t_idx, t_found,
         )
         if bias is not None:
             out = out + bias
         return jnp.where(rulebook.out_valid[..., None], out, 0.0)
     b, v_out, k = rulebook.idx.shape
-    cin = features.shape[-1]
-    cout = weights.shape[-1]
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    gathered = gather_rows_per_tap(features, rulebook.idx, rulebook.found)
     # honor out_dtype here too: eval (with_transpose=False) must keep the
     # bf16 activation dtype of the training path (f32 MXU accumulation is
     # internal regardless of the result dtype)
-    out = jax.lax.dot_general(
-        gathered.reshape(b * v_out, k * cin),
-        weights.reshape(k * cin, cout),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.dtype(out_dtype),
-    ).reshape(b, v_out, cout)
+    out = _gather_gemm(features, rulebook.idx, rulebook.found, weights,
+                       None, jnp.dtype(out_dtype), win_run)
     if bias is not None:
         out = out + bias
     return jnp.where(rulebook.out_valid[..., None], out, 0.0)

@@ -293,3 +293,83 @@ def test_bitmap_packed_taps_matches_dense_packed():
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
     np.testing.assert_array_equal(np.asarray(ib) * np.asarray(fb),
                                   np.asarray(idd) * np.asarray(fd))
+
+
+def test_im2col_formulations_agree(monkeypatch):
+    """The im2col mode switch (_im2col_mode: per-tap / flattened / windowed /
+    windowed-flat) is purely a lowering choice: every formulation must produce
+    identical conv outputs and custom-VJP gradients (the windowed forms
+    additionally exercise the dx-run rank-adjacency invariant)."""
+    import jax
+
+    rng = np.random.default_rng(31)
+    grid = GridSpec(13, 11, 7)
+    n_occ, cap = 220, 256
+    keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False)).astype(np.int32)
+    kk = np.concatenate([keys, np.full(cap - n_occ, INVALID_KEY, np.int32)])[None]
+    feats = rng.normal(size=(1, cap, 6)).astype(np.float32)
+    feats[0, n_occ:] = 0
+    w = rng.normal(size=(27, 6, 8)).astype(np.float32) * 0.2
+    rb = sparse.build_subm_rulebook_batched(jnp.asarray(kk), grid)
+
+    def run():
+        def loss(f, ww):
+            o = sparse.sparse_conv_apply_batched(
+                jnp.asarray(f), rb, ww, transpose="mirror", win_run=3)
+            return jnp.sum(o * o), o
+
+        (l, o), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            jnp.asarray(feats), jnp.asarray(w))
+        o_plain = sparse.sparse_conv_apply_batched(jnp.asarray(feats), rb,
+                                                   jnp.asarray(w), win_run=3)
+        return np.asarray(o), np.asarray(g[0]), np.asarray(g[1]), np.asarray(o_plain)
+
+    results = {}
+    for mode in ("per-tap", "flat", "win", "win-flat"):
+        monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
+        results[mode] = run()
+    ref = results["per-tap"]
+    for mode in ("flat", "win", "win-flat"):
+        got = results[mode]
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(got[2], ref[2], rtol=1e-5, atol=1e-4, err_msg=mode)
+        np.testing.assert_allclose(got[3], ref[3], rtol=1e-5, atol=1e-5, err_msg=mode)
+
+
+def test_windowed_gather_strided_and_inverse_rulebooks(monkeypatch):
+    """Windowed gathers on a STRIDED conv (forward rulebook + inverse-rulebook
+    backward): the rank-adjacency invariant must hold for both tables."""
+    import jax
+
+    rng = np.random.default_rng(77)
+    grid = GridSpec(14, 12, 8)
+    n_occ, cap, out_cap = 300, 320, 256
+    keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False)).astype(np.int32)
+    kk = np.concatenate([keys, np.full(cap - n_occ, INVALID_KEY, np.int32)])[None]
+    feats = rng.normal(size=(1, cap, 5)).astype(np.float32)
+    feats[0, n_occ:] = 0
+    w = rng.normal(size=(27, 5, 8)).astype(np.float32) * 0.2
+    rb, out_grid = sparse.build_conv_rulebook_batched(
+        jnp.asarray(kk), grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_cap)
+    inv = sparse.build_inverse_rulebook_batched(
+        jnp.asarray(kk), rb.out_keys, grid, out_grid, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+
+    def run():
+        def loss(f, ww):
+            o = sparse.sparse_conv_apply_batched(
+                jnp.asarray(f), rb, ww, transpose=inv, win_run=3)
+            return jnp.sum(o * o), o
+
+        (_, o), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            jnp.asarray(feats), jnp.asarray(w))
+        return np.asarray(o), np.asarray(g[0]), np.asarray(g[1])
+
+    monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r: "per-tap")
+    ref = run()
+    for mode in ("win", "win-flat"):
+        monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
+        got = run()
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(got[2], ref[2], rtol=1e-5, atol=1e-4, err_msg=mode)
