@@ -175,17 +175,23 @@ def _lane_select(rows, lane):
 
 
 def build_bitmap_lut(keys, grid: GridSpec):
-    """(V,) sorted UNIQUE keys -> (ceil(cells/32), 2) int32 bitmap-rank table:
+    """(V,) sorted UNIQUE keys -> (ceil(cells/32), 3) int32 bitmap-rank table:
     column 0 = 32-cell occupancy word, column 1 = exclusive prefix count of
-    occupied cells before the word.
+    occupied cells before the word, column 2 = the NEXT word (word of the
+    following 32 cells; 0 past the grid).
 
     row(key) = prefix[key >> 5] + popcount(word & ((1 << (key & 31)) - 1));
     found    = (word >> (key & 31)) & 1.
 
-    16x smaller than the dense int32 LUT (at stage-0 scale 23 MB vs 371 MB)
+    ~11x smaller than the dense int32 LUT (at stage-0 scale 35 MB vs 371 MB)
     and ~10x cheaper to build: no 371 MB fill -- one scatter-ADD of single
     bits (keys are unique, so bits never collide within a word) plus a
-    cumsum over words. Rank equals the sorted row index by construction."""
+    cumsum over words. Rank equals the sorted row index by construction.
+
+    The next-word column makes every dx-RUN lookup of span <= 32 a SINGLE
+    row fetch (the lookups are HBM-transaction-bound): a run straddling the
+    word boundary reads its second word from column 2, whose prefix is
+    derived for free as prefix + popcount(word)."""
     cells = grid.num_cells
     n_words = -(-cells // 32) + 1  # +1 drop slot for invalid keys
     valid = keys != INVALID_KEY
@@ -195,7 +201,9 @@ def build_bitmap_lut(keys, grid: GridSpec):
         jnp.where(valid, jnp.int32(1) << bit, 0), mode="drop")
     counts = jax.lax.population_count(words)
     prefix = jnp.cumsum(counts) - counts  # exclusive
-    return jnp.stack([words, prefix], axis=1)[: n_words - 1]
+    words = words[: n_words - 1]
+    nxt = jnp.concatenate([words[1:], jnp.zeros((1,), jnp.int32)])
+    return jnp.stack([words, prefix[: n_words - 1], nxt], axis=1)
 
 
 def _bitmap_rank(word, prefix, bit):
@@ -232,32 +240,32 @@ def lookup_bitmap_rows(bm, queries, query_ok):
 
 
 def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query_ok):
-    """Run-packed bitmap-rank lookups: one (or two) 8-byte row gathers per
-    dx-RUN of taps (cells c..c+span-1 touch at most 2 adjacent 32-bit words
-    for span <= 31). Mirrors :func:`lookup_packed_taps` on the bitmap table."""
+    """Run-packed bitmap-rank lookups: ONE 12-byte row gather per dx-RUN of
+    taps (cells c..c+span-1 touch at most 2 adjacent 32-bit words for
+    span <= 31; the second word rides column 2 of the same row and its
+    prefix is derived as prefix + popcount(word)). Mirrors
+    :func:`lookup_packed_taps` on the bitmap table."""
     p = len(offsets_zyx)
     n_words = bm.shape[0]
     rows = [None] * p
     hits = [None] * p
     for d0, run in _delta_runs(offsets_zyx, grid):
         span = run[-1][0] - d0 + 1
+        assert span <= 32, f"dx-run span {span} exceeds one next-word window"
         c0 = base_cells + d0
-        need_two = span > 1  # a run can straddle the word boundary
-        # single-word runs may sit in the LAST word -- clip to n-1 there;
-        # two-word runs clip to n-2 so the +1 row stays in range (a last-word
-        # query then reads it via in_next)
-        w0 = jnp.clip(c0 >> 5, 0, n_words - 2 if need_two else n_words - 1)
-        pair0 = bm[w0]
-        if need_two:
-            pair1 = bm[w0 + 1]
+        w0 = jnp.clip(c0 >> 5, 0, n_words - 1)
+        row0 = bm[w0]  # (V, 3): word, prefix, next word
+        straddles = span > 1
+        if straddles:
+            pref1 = row0[:, 1] + jax.lax.population_count(row0[:, 0])
         for d, t in run:
             cell = base_cells + d
-            in_next = (cell >> 5) > w0
-            if need_two:
-                word = jnp.where(in_next, pair1[:, 0], pair0[:, 0])
-                pref = jnp.where(in_next, pair1[:, 1], pair0[:, 1])
+            if straddles:
+                in_next = (cell >> 5) > w0
+                word = jnp.where(in_next, row0[:, 2], row0[:, 0])
+                pref = jnp.where(in_next, pref1, row0[:, 1])
             else:
-                word, pref = pair0[:, 0], pair0[:, 1]
+                word, pref = row0[:, 0], row0[:, 1]
             r, h = _bitmap_rank(word, pref, cell & 31)
             rows[t] = r
             hits[t] = h
@@ -267,9 +275,9 @@ def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query
 
 def lookup_dense(lut, queries, query_ok):
     """LUT path: queries (V,) int32 cell keys into the 2-D packed LUT
-    (last dim 4) or bitmap-rank table (last dim 2); query_ok masks in-bounds
+    (last dim 4) or bitmap-rank table (last dim 3); query_ok masks in-bounds
     rows. Returns (idx clamped >=0, found)."""
-    if lut.shape[-1] == 2:
+    if lut.shape[-1] == 3:
         return lookup_bitmap(lut, queries, query_ok)
     safe_q = jnp.where(query_ok, queries, 0)
     rows = _lane_select(lut[safe_q >> 2], safe_q & 3)
@@ -283,7 +291,7 @@ def lookup_dense_rows(lut, queries, query_ok):
     One flattened (P*V,)-index gather lowers to the slow scalar path on TPU
     (see gather_rows_per_tap); P separate row gathers from the packed 2-D
     table run at HBM latency (16.2 ms / 13 taps at stage-0 scale)."""
-    if lut.shape[-1] == 2:
+    if lut.shape[-1] == 3:
         return lookup_bitmap_rows(lut, queries, query_ok)
     p = queries.shape[0]
     safe_q = jnp.where(query_ok, queries, 0)
@@ -324,13 +332,13 @@ def lookup_packed_taps(lut, base_cells, offsets_zyx, grid: GridSpec, query_ok):
     per-tap lane selection is cheap VPU work.
 
     lut: (padded_cells/4, 4) int32 from :func:`build_dense_lut`, or a
-    (words, 2) bitmap-rank table from :func:`build_bitmap_lut` (dispatched
+    (words, 3) bitmap-rank table from :func:`build_bitmap_lut` (dispatched
     by last dim); base_cells: (V,) int32 base cell per query row (any value
     when not ok); offsets_zyx: STATIC list of P (dz, dy, dx) taps;
     query_ok: (P, V) bool per-tap validity (in-bounds & valid source row).
     Returns (idx (P, V) int32 clamped >= 0, found (P, V) bool).
     """
-    if lut.shape[-1] == 2:
+    if lut.shape[-1] == 3:
         return lookup_bitmap_packed_taps(lut, base_cells, offsets_zyx, grid, query_ok)
     p = len(offsets_zyx)
     cells4 = lut.shape[0]
@@ -1024,7 +1032,7 @@ def build_dense_lut_batched(keys, grid: GridSpec):
 
 
 def build_bitmap_lut_batched(keys, grid: GridSpec):
-    """vmap of build_bitmap_lut: (B, V) keys -> (B, words, 2) int32."""
+    """vmap of build_bitmap_lut: (B, V) keys -> (B, words, 3) int32."""
     return jax.vmap(lambda k: build_bitmap_lut(k, grid))(keys)
 
 

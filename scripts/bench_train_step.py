@@ -34,13 +34,18 @@ def main():
 
     from cpd_tpu.models.detector import VoxelRCNN
     from cpd_tpu.parallel.trainer import build_optimizer, init_state, make_train_step
+    from cpd_tpu.utils.common import enable_compile_cache
+    from cpd_tpu.utils.synthetic import make_lidar_frame
 
+    enable_compile_cache()
     model = VoxelRCNN(
         num_classes=3,
         point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
         voxel_size=(0.1, 0.1, 0.15),
-        max_voxels=150_000,
-        backbone_caps=(80_000, 40_000, 20_000, 20_000),
+        # beam-structured frames + audited caps, matching bench.py (the old
+        # uniform scatter dilated down2 ABOVE stage-0 occupancy -- unrealistic)
+        max_voxels=120_000,
+        backbone_caps=(80_000, 48_000, 24_000, 20_000),
         mm=not args.no_mm,
         remat=args.remat != "off",
         remat_backbone=(False if args.remat == "roi-only" else None),
@@ -51,14 +56,7 @@ def main():
     b, p = args.batch, args.points
     rng = np.random.default_rng(0)
     def mk_points():
-        return np.concatenate(
-            [
-                rng.uniform(-74, 74, (b, p, 2)),
-                rng.uniform(-2, 4, (b, p, 1)),
-                rng.uniform(0, 1, (b, p, 2)),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        return np.stack([make_lidar_frame(rng, p)[0] for _ in range(b)])
 
     n_gt = 64
     gt = np.zeros((b, n_gt, 8), np.float32)
