@@ -36,6 +36,9 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     bn_axis_name: Optional[str] = None
     use_bias: bool = False
+    # bf16 compute matches the 3D backbone's activation dtype and runs the
+    # 188x188 dense convs ~2x faster on the MXU; BN statistics stay f32
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -45,6 +48,7 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME" if self.stride == 1 else [(1, 1), (1, 1)],
             use_bias=self.use_bias,
+            dtype=self.compute_dtype,
         )(x)
         x = BatchNorm2d(axis_name=self.bn_axis_name)(x, train)
         return nn.relu(x)
@@ -75,9 +79,10 @@ class BaseBEVBackbone(nn.Module):
             uf = self.num_upsample_filters[i]
             if us > 1:
                 u = nn.ConvTranspose(uf, (us, us), strides=(us, us), use_bias=False,
-                                     name=f"deblock{i}")(x)
+                                     dtype=jnp.bfloat16, name=f"deblock{i}")(x)
             else:
-                u = nn.Conv(uf, (1, 1), use_bias=False, name=f"deblock{i}")(x)
+                u = nn.Conv(uf, (1, 1), use_bias=False, dtype=jnp.bfloat16,
+                            name=f"deblock{i}")(x)
             u = BatchNorm2d(axis_name=self.bn_axis_name, name=f"deblock{i}_bn")(u, train)
             ups.append(nn.relu(u))
         if len(ups) > 1:

@@ -34,14 +34,16 @@ class SeparateHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.num_conv - 1):
+            # hidden convs in bf16 (matches the BEV stack); the OUT conv stays
+            # f32 for prediction-map precision (its FLOPs are negligible)
             x = nn.Conv(self.head_channels, (3, 3), padding="SAME", use_bias=True,
-                        name=f"conv{i}")(x)
+                        dtype=jnp.bfloat16, name=f"conv{i}")(x)
             x = BatchNorm2d(axis_name=self.bn_axis_name, name=f"bn{i}")(x, train)
             x = nn.relu(x)
         x = nn.Conv(
             self.out_channels, (3, 3), padding="SAME", use_bias=True,
             bias_init=nn.initializers.constant(self.init_bias), name="out",
-        )(x)
+        )(x.astype(jnp.float32))
         return x
 
 
@@ -66,7 +68,7 @@ class CenterHead(nn.Module):
     def __call__(self, bev_features, train: bool):
         """bev_features: (B, H, W, C) -> dict of NHWC prediction maps."""
         x = nn.Conv(self.shared_conv_channel, (3, 3), padding="SAME", use_bias=True,
-                    name="shared_conv")(bev_features)
+                    dtype=jnp.bfloat16, name="shared_conv")(bev_features)
         x = BatchNorm2d(axis_name=self.bn_axis_name, name="shared_bn")(x, train)
         x = nn.relu(x)
         preds = {

@@ -85,13 +85,18 @@ def key_to_coords(key, spec: VoxelizerSpec):
     return jnp.where(key[:, None] >= 0, coords, -1)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
+@partial(jax.jit, static_argnames=("spec", "with_point_voxel_id"))
+def voxelize(points, spec: VoxelizerSpec, valid=None,
+             with_point_voxel_id: bool = False) -> VoxelizedFrame:
     """Dynamic voxelization + mean VFE for one frame.
 
     points: (P_cap, C) with xyz in the first 3 channels; ``valid`` masks
     padded points. Voxel order in the output table is ascending key order
     (deterministic), padded rows at the end.
+
+    ``with_point_voxel_id``: the per-point voxel-row map costs a (P,)
+    scatter that only PillarVFE consumes -- skipped by default (the field is
+    then all -1).
     """
     p_cap, c = points.shape
     v_cap = spec.max_voxels
@@ -115,15 +120,15 @@ def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
         rank = idx - seg_start
         point_ok = point_ok & (rank < spec.max_points_per_voxel)
     slot_clipped = jnp.where(point_ok & (slot < v_cap), slot, v_cap)  # overflow bucket
-    # segment-mean features
+    # segment-mean features; the count rides as an extra ones-column so the
+    # sums and counts cost ONE (P,)-row scatter-add instead of two
     sorted_pts = points[order]
+    aug = jnp.concatenate([sorted_pts, jnp.ones((p_cap, 1), points.dtype)], axis=1)
     sums = jax.ops.segment_sum(
-        jnp.where(point_ok[:, None], sorted_pts, 0.0), slot_clipped, num_segments=v_cap + 1
+        jnp.where(point_ok[:, None], aug, 0.0), slot_clipped, num_segments=v_cap + 1
     )[:v_cap]
-    counts = jax.ops.segment_sum(
-        point_ok.astype(jnp.int32), slot_clipped, num_segments=v_cap + 1
-    )[:v_cap]
-    feats = sums / jnp.maximum(counts[:, None], 1).astype(points.dtype)
+    counts = sums[:, -1].astype(jnp.int32)
+    feats = sums[:, :-1] / jnp.maximum(counts[:, None], 1).astype(points.dtype)
     # voxel keys per slot
     voxel_keys = jax.ops.segment_max(
         jnp.where(first & (slot < v_cap), skey, -1), slot_clipped, num_segments=v_cap + 1
@@ -132,8 +137,11 @@ def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
     voxel_keys = jnp.where(valid_voxels, voxel_keys, -1)
     coords = key_to_coords(voxel_keys, spec)
     # map each original point to its voxel row
-    pv = jnp.where(point_ok & (slot < v_cap), slot, -1)
-    point_voxel_id = jnp.zeros((p_cap,), jnp.int32).at[order].set(pv)
+    if with_point_voxel_id:
+        pv = jnp.where(point_ok & (slot < v_cap), slot, -1)
+        point_voxel_id = jnp.zeros((p_cap,), jnp.int32).at[order].set(pv)
+    else:
+        point_voxel_id = jnp.full((p_cap,), -1, jnp.int32)
     return VoxelizedFrame(
         features=jnp.where(valid_voxels[:, None], feats, 0.0),
         coords=coords,
@@ -143,9 +151,10 @@ def voxelize(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
     )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def voxelize_batch(points, spec: VoxelizerSpec, valid=None) -> VoxelizedFrame:
+@partial(jax.jit, static_argnames=("spec", "with_point_voxel_id"))
+def voxelize_batch(points, spec: VoxelizerSpec, valid=None,
+                   with_point_voxel_id: bool = False) -> VoxelizedFrame:
     """Batched voxelization: points (B, P_cap, C) -> VoxelizedFrame with leading B axis."""
-    return jax.vmap(lambda p, v: voxelize(p, spec, v))(
+    return jax.vmap(lambda p, v: voxelize(p, spec, v, with_point_voxel_id))(
         points, valid if valid is not None else jnp.ones(points.shape[:2], dtype=bool)
     )

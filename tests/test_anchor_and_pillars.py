@@ -53,7 +53,7 @@ def test_pillar_vfe_and_scatter():
     pts = np.concatenate([
         rng.uniform(0, 8, (500, 2)), rng.uniform(-2, 4, (500, 1)), rng.uniform(0, 1, (500, 1)),
     ], 1).astype(np.float32)
-    frame = voxelize(jnp.asarray(pts), spec)
+    frame = voxelize(jnp.asarray(pts), spec, with_point_voxel_id=True)
     grid = GridSpec(*spec.grid_size)
     keys = jnp.where(frame.valid,
                      (frame.coords[:, 0] * grid.ny + frame.coords[:, 1]) * grid.nx + frame.coords[:, 2],

@@ -62,7 +62,7 @@ def test_voxelize_point_voxel_id_roundtrip():
     spec = VoxelizerSpec.create([0, 0, 0, 8, 8, 8], [1, 1, 1], max_voxels=512)
     rng = np.random.default_rng(1)
     pts = rng.uniform(0, 8, size=(100, 3)).astype(np.float32)
-    out = voxelize(jnp.asarray(pts), spec)
+    out = voxelize(jnp.asarray(pts), spec, with_point_voxel_id=True)
     pv = np.asarray(out.point_voxel_id)
     coords = np.asarray(out.coords)
     for i in range(100):
