@@ -540,9 +540,11 @@ def _build_conv_rulebook_jit(
     first = first & (cand != INVALID_KEY)
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1
     slot = jnp.where(first & (slot < out_cap), slot, out_cap)
-    out_keys = jax.ops.segment_max(
-        jnp.where(first, cand, -1), slot, num_segments=out_cap + 1
-    )[:out_cap]
+    # plain scatter-SET extraction: each kept slot is written by exactly one
+    # first-row, so no combiner is needed -- measured 8.7 vs segment_max's
+    # 12.5 ms at stage-0 scale (scripts/exp_r2m_strided_internals.py)
+    out_keys = jnp.full((out_cap + 1,), -1, jnp.int32).at[slot].set(
+        cand, mode="drop")[:out_cap]
     out_valid = out_keys >= 0
     out_keys = jnp.where(out_valid, out_keys, INVALID_KEY).astype(jnp.int32)
 
@@ -773,17 +775,16 @@ def gather_rows_windowed(features, idx, found, flat=False):
 
 
 def _im2col_mode(idx_size, c, win_run):
-    """Static im2col formulation choice, measured on-chip per (size, width)
-    regime (scripts/exp_r2j_window_gather.py + exp_r2h_gather2.py)."""
-    if win_run == 3:
-        if c <= 16:
-            return "win"
-        if c <= 32:
-            return ("win-flat" if idx_size // 3 <= FLAT_GATHER_MAX_IDX
-                    else "win")
-        if c <= 64:
-            return "win"
-        # c >= 128: rows are wide enough to amortize the fetch latency
+    """Static im2col formulation choice, measured on-chip IN CONTEXT (4-5 conv
+    chains on real-frame rulebooks, scripts/exp_r2l_stage2_modes.py): windowed
+    wins everywhere C <= 64 (stage2 4x chain: win 18.8 / per-tap 28.6 /
+    win-flat 47.0 ms -- the standalone probe exp_r2j had picked win-flat);
+    at C >= 128 the wide rows amortize the fetch latency and per-tap wins
+    (stage4: 10.9 vs flat 11.9 vs win 19.4)."""
+    if win_run == 3 and c <= 64:
+        return "win"
+    if c >= 128:
+        return "per-tap"
     return "flat" if idx_size <= FLAT_GATHER_MAX_IDX else "per-tap"
 
 
