@@ -412,13 +412,16 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
         # stage-0 scale, bitmap table): 26 direct packed lookups = 17.6 ms vs
         # 13 positive + the (13, V+1) inversion scatter = 24.9 ms -- the
         # mirror-symmetry trick only pays on the rank-join path below.
-        others = [o for o in offsets if o != (0, 0, 0)]
+        # keep the CENTER tap in the lookup list: excluding it splits the
+        # (0,0,*) dx-run into two single-tap runs (one extra fetch pass per
+        # cell); the run's single fetch already covers key-1..key+1, and the
+        # center column is overridden with the identity row afterward
         if lut is None:
             lut = build_bitmap_lut(keys, grid)
         idx_o, found_o = lookup_packed_taps(
-            lut, keys, others, grid, in_bounds_of(others) & valid[None, :]
+            lut, keys, offsets, grid, in_bounds_of(offsets) & valid[None, :]
         )
-        col = {o: k for k, o in enumerate(others)}
+        col = {o: k for k, o in enumerate(offsets)}
         idx_cols = [arange if o == (0, 0, 0) else idx_o[col[o]] for o in offsets]
         found_cols = [valid if o == (0, 0, 0) else found_o[col[o]] for o in offsets]
         return Rulebook(

@@ -129,10 +129,11 @@ def voxelize(points, spec: VoxelizerSpec, valid=None,
     )[:v_cap]
     counts = sums[:, -1].astype(jnp.int32)
     feats = sums[:, :-1] / jnp.maximum(counts[:, None], 1).astype(points.dtype)
-    # voxel keys per slot
-    voxel_keys = jax.ops.segment_max(
-        jnp.where(first & (slot < v_cap), skey, -1), slot_clipped, num_segments=v_cap + 1
-    )[:v_cap]
+    # voxel keys per slot: plain scatter-SET (each kept slot is written by
+    # exactly one first-row; measured ~1.4x segment_max, exp_r2m)
+    key_slot = jnp.where(first & (slot < v_cap), slot, v_cap)
+    voxel_keys = jnp.full((v_cap + 1,), -1, jnp.int32).at[key_slot].set(
+        skey, mode="drop")[:v_cap]
     valid_voxels = counts > 0
     voxel_keys = jnp.where(valid_voxels, voxel_keys, -1)
     coords = key_to_coords(voxel_keys, spec)
