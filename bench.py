@@ -25,12 +25,12 @@ for experiments.
 Caps: sized from the MEASURED stage occupancy of the beam-structured frames
 (scripts/exp_r2g_occupancy.py, 6-seed max: stage0 66.2k, down2 60.3k,
 down3 30.0k, down4 13.5k, conv_out 10.3k) with >= 1.3x headroom:
-voxelizer 120k; ladder (80k, 48k, 24k, 20k). The audit below asserts no
-stage saturates its cap on any benched frame -- truncation-free static caps
-produce BIT-IDENTICAL outputs to the uncapped (dynamic-shape) computation,
-so the measured number carries no silent accuracy loss. (The dataset
-configs keep the reference's MAX_NUMBER_OF_VOXELS=150000 guard for real
-data; these are the audited bench operating points.)
+voxelizer 90k (1.36x); ladder (80k, 48k, 24k, 20k). The audit below asserts
+no stage saturates its cap on any benched frame -- truncation-free static
+caps produce BIT-IDENTICAL outputs to the uncapped (dynamic-shape)
+computation, so the measured number carries no silent accuracy loss. (The
+dataset configs keep the reference's MAX_NUMBER_OF_VOXELS=150000 guard for
+real data; these are the audited bench operating points.)
 """
 import argparse
 import json
@@ -60,7 +60,7 @@ def main():
         num_classes=3,
         point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
         voxel_size=(0.1, 0.1, 0.15),
-        max_voxels=120_000,
+        max_voxels=90_000,
         backbone_caps=(80_000, 48_000, 24_000, 20_000),  # audited, see docstring
         mm=False,
         num_rois=500,

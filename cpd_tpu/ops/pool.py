@@ -314,7 +314,10 @@ def voxel_query_multi(
                 sel_centers = jnp.pad(sel_centers, ((0, 0), (0, pad), (0, 0)))
         else:
             # first-nsample-found in (distance-sorted) tap order, sort-free:
-            # running rank -> slot one-hot -> contractions select per slot
+            # running rank -> slot one-hot -> contractions select per slot.
+            # NOTE: keep these as separate 'wq,wqk->qk' einsums -- stacking
+            # them into one 'swq,wqk->sqk' contraction lowers ~5x slower
+            # (101 vs 21 ms for the RoI queries, measured on chip)
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=0)
             slot = rank - 1
             keep = ok & (slot < nsample)

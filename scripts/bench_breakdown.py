@@ -31,8 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--uniform", action="store_true",
                     help="old uniform-box frame instead of the lidar model")
-    ap.add_argument("--max-voxels", type=int, default=150_000)
-    ap.add_argument("--caps", type=int, nargs=4, default=(80_000, 40_000, 20_000, 20_000))
+    ap.add_argument("--max-voxels", type=int, default=90_000)
+    ap.add_argument("--caps", type=int, nargs=4, default=(80_000, 48_000, 24_000, 20_000),
+                    help="audited beam-structured-frame caps (bench.py docstring)")
     args = ap.parse_args()
 
     import jax
