@@ -311,13 +311,16 @@ class GridPoolBranch(nn.Module):
         per_scale = []
         for name, ds, *groups in self.scale_specs:
             feats, _ = scale_features[name + suffix]
-            pre = nn.Dense(self.mlp_channels, name=f"pre_{name}")(feats)
+            # bf16 compute: halves the (Q, K) grouping-gather bytes and runs
+            # the shared MLPs at full MXU rate (matches the backbone dtype)
+            pre = nn.Dense(self.mlp_channels, dtype=jnp.bfloat16,
+                           name=f"pre_{name}")(feats)
             pre = nn.relu(pre)
             for gi in range(len(groups)):
                 idx, valid, rel = query_results[f"{name}_{gi}"]
                 mlp = nn.Sequential([
-                    nn.Dense(self.mlp_channels), nn.relu,
-                    nn.Dense(self.mlp_channels), nn.relu,
+                    nn.Dense(self.mlp_channels, dtype=jnp.bfloat16), nn.relu,
+                    nn.Dense(self.mlp_channels, dtype=jnp.bfloat16), nn.relu,
                 ], name=f"mlp_{name}_{gi}")
                 pooled = jax.vmap(pool.group_and_pool, in_axes=(0, 0, 0, 0, None))(
                     pre, idx, valid, rel, mlp
@@ -335,11 +338,13 @@ class FCTower(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         for i, h in enumerate(self.hidden):
-            x = nn.Dense(h, name=f"fc{i}")(x)
+            # hidden layers in bf16; the OUT projection stays f32 for
+            # prediction precision (its FLOPs are negligible)
+            x = nn.Dense(h, dtype=jnp.bfloat16, name=f"fc{i}")(x)
             x = nn.relu(x)
             if self.dropout > 0 and i == 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.out_dim, name="out")(x)
+        return nn.Dense(self.out_dim, name="out")(x.astype(jnp.float32))
 
 
 class VoxelRCNNProtoHead(nn.Module):

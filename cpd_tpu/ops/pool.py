@@ -367,7 +367,10 @@ def group_and_pool(features, idx, valid, rel_pos, mlp_fn):
     # scalar path on TPU than K separate (Q,)-row gathers (see
     # sparse.gather_rows_per_tap)
     g = jnp.stack([features[idx[:, t]] for t in range(idx.shape[1])], axis=1)
-    g = jnp.concatenate([rel_pos, g], axis=-1)
+    # keep the grouped tensor in the FEATURE dtype (bf16 halves the gather
+    # bytes); rel_pos offsets are small-magnitude so the cast is lossless
+    # at the precision that matters
+    g = jnp.concatenate([rel_pos.astype(features.dtype), g], axis=-1)
     g = jnp.where(valid[..., None], g, 0.0)
     h = mlp_fn(g)
     h = jnp.where(valid[..., None], h, -1e9)  # finite fill: -inf NaNs the max grad
