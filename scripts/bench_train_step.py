@@ -44,7 +44,7 @@ def main():
         voxel_size=(0.1, 0.1, 0.15),
         # beam-structured frames + audited caps, matching bench.py (the old
         # uniform scatter dilated down2 ABOVE stage-0 occupancy -- unrealistic)
-        max_voxels=120_000,
+        max_voxels=90_000,
         backbone_caps=(80_000, 48_000, 24_000, 20_000),
         mm=not args.no_mm,
         remat=args.remat != "off",
