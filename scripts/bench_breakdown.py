@@ -40,6 +40,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from cpd_tpu.utils.common import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from cpd_tpu.models.detector import VoxelRCNN, keys_from_frame
