@@ -46,6 +46,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no-dense-tail", action="store_true",
+                    help="run stage 4 + conv_out on the sparse rulebook path "
+                         "instead of the default dense MXU tail")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +69,7 @@ def main():
         num_rois=500,
         num_rois_test=200,
         roi_per_image=130,
+        dense_tail=not args.no_dense_tail,
     )
     b, p = args.batch, 200_000
     rng = np.random.default_rng(0)

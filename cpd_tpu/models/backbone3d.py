@@ -15,8 +15,9 @@ in training (:560-598). Key differences from the torch/spconv design:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,8 +26,53 @@ from ..ops.sparse import GridSpec, Rulebook
 from .norm import MaskedBatchNorm
 
 
+class DenseCtx(NamedTuple):
+    """Dense-grid stand-in for a Rulebook: the conv modules below accept
+    either. ``mask`` is the OUTPUT-site occupancy (B, D, H, W); stride and
+    padding are in conv DHW (z, y, x) order. Used by the dense-tail path
+    (deep stages run as dense MXU conv3d -- see ResBranch.dense_tail)."""
+
+    mask: jnp.ndarray
+    stride: Tuple[int, int, int]
+    padding: Tuple[Tuple[int, int], ...]
+
+
+def _dense_conv(features, w_taps, kernel_xyz, ctx: DenseCtx, compute_dtype):
+    """3-D dense conv with the rulebook tap-order weight layout.
+
+    ``w_taps`` is the sparse-path (K, Cin, Cout) kernel whose taps follow
+    _kernel_offsets order (dz outer, dy, dx inner) -- exactly a
+    (kz, ky, kx, Cin, Cout) DHWIO reshape, so sparse and dense paths share
+    one parameter tensor (checkpoint-compatible either way)."""
+    kx, ky, kz = kernel_xyz
+    cin, cout = w_taps.shape[-2:]
+    w = w_taps.reshape(kz, ky, kx, cin, cout)
+    cd = compute_dtype or features.dtype
+    return jax.lax.conv_general_dilated(
+        features.astype(cd), w.astype(cd), ctx.stride, list(ctx.padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=cd)
+
+
+def _downsample_mask(mask, kernel_xyz, stride_xyz, pad_xyz):
+    """Occupancy of a strided conv's output sites: every output cell whose
+    receptive field touches an occupied input (SparseConv3d's active-set
+    rule, sparse.py::_build_conv_rulebook_jit)."""
+    kx, ky, kz = kernel_xyz
+    sx, sy, sz = stride_xyz
+    px, py, pz = pad_xyz
+    ones = jnp.ones((kz, ky, kx, 1, 1), jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        mask[..., None].astype(jnp.bfloat16), ones, (sz, sy, sx),
+        [(pz, pz), (py, py), (px, px)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.bfloat16)
+    return out[..., 0] > 0
+
+
 def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False,
-                           lut_max_cells: int = None, with_conv_out: bool = True):
+                           lut_max_cells: int = None, with_conv_out: bool = True,
+                           dense_tail: bool = False):
     """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
     boundary (they carry no gradients; recomputing their LUT scatters / joins
     in the backward replay would dominate the training step).
@@ -61,6 +107,10 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     k2 = rbs["down3"].out_keys
     lut2 = stage_lut(k2, g["x_conv3"])
     rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"], lut=lut2)
+    if dense_tail:
+        # stage 4 + conv_out run as dense conv3d (ResBranch._dense_tail):
+        # none of the stage-4 rulebooks (or their transposes) are needed
+        return rbs
     rbs["down4"], _ = sparse.build_conv_rulebook_batched(
         k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2], lut=lut2)
     k3 = rbs["down4"].out_keys
@@ -115,11 +165,21 @@ class SubMConvBN(nn.Module):
     relu: bool = True
     bn_axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
+    kernel_dims: Tuple[int, int, int] = (3, 3, 3)  # (x, y, z), dense path only
 
     @nn.compact
-    def __call__(self, features, rulebook: Rulebook, train: bool):
+    def __call__(self, features, rulebook, train: bool):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
+        if isinstance(rulebook, DenseCtx):
+            # dense-tail path: unoccupied cells are zero on input, the masked
+            # BN re-zeroes them on output, so the dense conv sum equals the
+            # submanifold gather-conv at every occupied site
+            out = _dense_conv(features, w, self.kernel_dims, rulebook,
+                              self.compute_dtype)
+            out = MaskedBatchNorm(axis_name=self.bn_axis_name)(
+                out, rulebook.mask, train)
+            return nn.relu(out) if self.relu else out
         # bf16 activations: the tall-skinny conv GEMM is ~2x faster with a
         # bf16 result and the activation chain halves its HBM footprint; BN
         # still computes its statistics in f32
@@ -143,11 +203,18 @@ class StridedConvBN(nn.Module):
     kernel_volume: int
     bn_axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
+    kernel_dims: Tuple[int, int, int] = (3, 3, 3)  # (x, y, z), dense path only
 
     @nn.compact
-    def __call__(self, features, rulebook: Rulebook, train: bool, transpose=None):
+    def __call__(self, features, rulebook, train: bool, transpose=None):
         cin = features.shape[-1]
         w = self.param("kernel", _conv_init, (self.kernel_volume, cin, self.out_channels))
+        if isinstance(rulebook, DenseCtx):
+            out = _dense_conv(features, w, self.kernel_dims, rulebook,
+                              self.compute_dtype)
+            out = MaskedBatchNorm(axis_name=self.bn_axis_name)(
+                out, rulebook.mask, train)
+            return nn.relu(out)
         out = sparse.sparse_conv_apply_batched(features, rulebook, w,
                                                compute_dtype=self.compute_dtype,
                                                transpose=transpose,
@@ -162,14 +229,17 @@ class SparseBasicBlock(nn.Module):
 
     channels: int
     bn_axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, rulebook: Rulebook, train: bool):
         identity = features
-        out = SubMConvBN(self.channels, relu=True, bn_axis_name=self.bn_axis_name)(
+        out = SubMConvBN(self.channels, relu=True, bn_axis_name=self.bn_axis_name,
+                         compute_dtype=self.compute_dtype)(
             features, rulebook, train
         )
-        out = SubMConvBN(self.channels, relu=False, bn_axis_name=self.bn_axis_name)(
+        out = SubMConvBN(self.channels, relu=False, bn_axis_name=self.bn_axis_name,
+                         compute_dtype=self.compute_dtype)(
             out, rulebook, train
         )
         return nn.relu(out + identity)
@@ -195,46 +265,108 @@ class ResBranch(nn.Module):
     # carry ONE SparseBasicBlock each (vs two) and there is no conv_out_2
     # (spconv_backbone.py:459-487, forward :581 keeps conv_out commented out)
     light: bool = False
+    # run stage 4 + conv_out as DENSE conv3d on the 8x-downsampled grid: at
+    # that resolution the MXU beats the HBM-transaction-bound sparse
+    # gather-GEMM path, and the subm4/down4/conv_out rulebooks are never
+    # built. Numerically equal to the sparse path (masked-BN re-zeroing keeps
+    # unoccupied cells at exactly 0 between convs); parameter tree identical.
+    dense_tail: bool = False
+    # activation/GEMM dtype for every conv in the branch (f32 for parity
+    # debugging; bf16 default -- the measured ~2x tall-skinny GEMM win)
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, rulebooks, train: bool):
         c0, c1, c2, c3 = self.num_filters
         rb0 = rulebooks["subm1"]
-        x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
-        x = SparseBasicBlock(c0, name="res1a", bn_axis_name=self.bn_axis_name)(x, rb0, train)
-        x = SparseBasicBlock(c0, name="res1b", bn_axis_name=self.bn_axis_name)(x, rb0, train)
+        x = SubMConvBN(c0, name="conv_input", compute_dtype=self.compute_dtype)(features, rb0, train)
+        x = SparseBasicBlock(c0, name="res1a", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb0, train)
+        x = SparseBasicBlock(c0, name="res1b", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb0, train)
         # arrays only: GridSpecs are attached statically by the backbone wrapper
         # (a remat boundary would otherwise turn their ints into tracers)
         out = {"x_conv1": (x, rb0.out_keys)}
 
-        x = StridedConvBN(c1, 27, name="down2", bn_axis_name=self.bn_axis_name)(
+        x = StridedConvBN(c1, 27, name="down2", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
             x, rulebooks["down2"], train, rulebooks.get("down2_T"))
         rb1 = rulebooks["subm2"]
-        x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name)(x, rb1, train)
+        x = SparseBasicBlock(c1, name="res2a", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb1, train)
         if not self.light:
-            x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name)(x, rb1, train)
+            x = SparseBasicBlock(c1, name="res2b", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb1, train)
         out["x_conv2"] = (x, rb1.out_keys)
 
-        x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name)(
+        x = StridedConvBN(c2, 27, name="down3", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
             x, rulebooks["down3"], train, rulebooks.get("down3_T"))
         rb2 = rulebooks["subm3"]
-        x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name)(x, rb2, train)
+        x = SparseBasicBlock(c2, name="res3a", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb2, train)
         if not self.light:
-            x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name)(x, rb2, train)
+            x = SparseBasicBlock(c2, name="res3b", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb2, train)
         out["x_conv3"] = (x, rb2.out_keys)
 
-        x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name)(
+        if self.dense_tail:
+            return self._dense_tail(x, rb2.out_keys, out, train)
+
+        x = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
             x, rulebooks["down4"], train, rulebooks.get("down4_T"))
         rb3 = rulebooks["subm4"]
-        x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name)(x, rb3, train)
+        x = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb3, train)
         if not self.light:
-            x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name)(x, rb3, train)
+            x = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(x, rb3, train)
         out["x_conv4"] = (x, rb3.out_keys)
 
         if not self.light:
-            x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name)(
+            x = StridedConvBN(c3, 3, name="conv_out", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
                 x, rulebooks["conv_out"], train, rulebooks.get("conv_out_T"))
             out["encoded"] = (x, rulebooks["conv_out"].out_keys)
+        return out
+
+    def _dense_tail(self, x, keys3, out, train: bool):
+        """Stage 4 + conv_out on the dense (nz3, ny3, nx3) grid.
+
+        Measured on v5e (scripts/exp_r2o_dense_tail.py): the full dense
+        x_conv4 stage runs at ~10 ms vs the sparse path's gathers+rulebooks,
+        and conv_out's output feeds the BEV map directly (no sparse
+        extraction + re-scatter round trip). x_conv4 rows are gathered back
+        out of the dense grid for the RoI head (keys via rank compaction of
+        the occupancy mask: same sorted key set the capped rulebook emits).
+        """
+        c2, c3 = self.num_filters[2], self.num_filters[3]
+        g = stage_grids(self.grid)
+        g2, g3, g_out = g["x_conv3"], g["x_conv4"], g["encoded"]
+        b = x.shape[0]
+        dense3 = jax.vmap(lambda f, k: sparse.to_dense(f, k, g2, c2))(x, keys3)
+        mask3 = jax.vmap(lambda k: sparse.dense_mask_from_keys(k, g2))(keys3)
+
+        mask4 = _downsample_mask(mask3, (3, 3, 3), (2, 2, 2), (1, 1, 0))
+        ctx_down = DenseCtx(mask4, (2, 2, 2), ((0, 0), (1, 1), (1, 1)))
+        x4 = StridedConvBN(c3, 27, name="down4", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
+            dense3, ctx_down, train)
+        ctx4 = DenseCtx(mask4, (1, 1, 1), ((1, 1), (1, 1), (1, 1)))
+        x4 = SparseBasicBlock(c3, name="res4a", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
+            x4, ctx4, train)
+        if not self.light:
+            x4 = SparseBasicBlock(c3, name="res4b", bn_axis_name=self.bn_axis_name, compute_dtype=self.compute_dtype)(
+                x4, ctx4, train)
+
+        keys4, _ = jax.vmap(
+            lambda m: sparse.keys_from_dense_mask(m.reshape(-1), self.caps[2]))(mask4)
+        rows4 = jax.vmap(sparse.rows_from_dense)(x4.reshape(b, -1, c3), keys4)
+        out["x_conv4"] = (rows4, keys4)
+
+        if not self.light:
+            mask_out = _downsample_mask(mask4, (1, 1, 3), (1, 1, 2), (0, 0, 0))
+            ctx_out = DenseCtx(mask_out, (2, 1, 1), ((0, 0), (0, 0), (0, 0)))
+            xo = StridedConvBN(c3, 3, name="conv_out", kernel_dims=(1, 1, 3),
+                               bn_axis_name=self.bn_axis_name,
+                               compute_dtype=self.compute_dtype)(x4, ctx_out, train)
+            keys_o, _ = jax.vmap(
+                lambda m: sparse.keys_from_dense_mask(m.reshape(-1), self.caps[3]))(mask_out)
+            rows_o = jax.vmap(sparse.rows_from_dense)(xo.reshape(b, -1, c3), keys_o)
+            out["encoded"] = (rows_o, keys_o)
+            # (B, nz, ny, nx, C) -> (B, ny, nx, nz*C): height_compression's
+            # layout, computed without the sparse round trip
+            bev = jnp.transpose(xo, (0, 2, 3, 1, 4)).reshape(
+                b, g_out.ny, g_out.nx, g_out.nz * c3)
+            out["encoded_bev"] = bev
         return out
 
 
@@ -254,6 +386,10 @@ class VoxelResBackBone8x(nn.Module):
     # BACKBONE_3D.LUT_MAX_CELLS: grids above this use rank-joins instead of a
     # dense LUT (None = sparse.DENSE_LUT_MAX_CELLS default)
     lut_max_cells: Optional[int] = None
+    # BACKBONE_3D.DENSE_TAIL: run stage 4 + conv_out as dense MXU conv3d
+    # (see ResBranch._dense_tail); parameter tree unchanged
+    dense_tail: bool = False
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     remat: bool = True  # rematerialize branch activations (trades recompute
     # for the backward-pass HBM that otherwise OOMs batch-4 training)
@@ -262,31 +398,40 @@ class VoxelResBackBone8x(nn.Module):
     def __call__(self, features, keys, train: bool, features_mm=None, keys_mm=None):
         branch_cls = nn.remat(ResBranch, static_argnums=(3,)) if (self.remat and train) else ResBranch
         branch = branch_cls(
-            self.grid, self.num_filters, self.caps, self.bn_axis_name, name="branch0"
+            self.grid, self.num_filters, self.caps, self.bn_axis_name,
+            dense_tail=self.dense_tail, compute_dtype=self.compute_dtype,
+            name="branch0"
         )
         # rulebooks carry no gradients: build them OUTSIDE the remat boundary
         # so the backward replay recomputes only the conv GEMMs
         rbs = build_branch_rulebooks(keys, self.grid, self.caps, with_transpose=train,
-                                     lut_max_cells=self.lut_max_cells)
+                                     lut_max_cells=self.lut_max_cells,
+                                     dense_tail=self.dense_tail)
         raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
                 self.grid, self.num_filters, self.caps, self.bn_axis_name,
-                light=True, name="branch1"
+                light=True, dense_tail=self.dense_tail,
+                compute_dtype=self.compute_dtype, name="branch1"
             )
             # the light branch has no conv_out: skip that rulebook + transpose
             rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
                                             with_transpose=train,
                                             lut_max_cells=self.lut_max_cells,
-                                            with_conv_out=False)
+                                            with_conv_out=False,
+                                            dense_tail=self.dense_tail)
             out_mm = branch1(features_mm, rbs_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
                 raw[k + "_mm"] = out_mm[k]
         # reattach the static grids OUTSIDE the (possibly remat-ed) branches
         grids = stage_grids(self.grid)
         out = {}
-        for k, (f, ky) in raw.items():
-            out[k] = (f, ky, grids[k.replace("_mm", "")])
+        for k, v in raw.items():
+            if k == "encoded_bev":  # bare BEV map from the dense tail
+                out[k] = v
+            else:
+                f, ky = v
+                out[k] = (f, ky, grids[k.replace("_mm", "")])
         return out
 
 
@@ -305,7 +450,7 @@ class PlainBranch(nn.Module):
         c0, c1, c2, c3 = self.num_filters
         g0 = self.grid
         rb0 = sparse.build_subm_rulebook_batched(keys, g0)
-        x = SubMConvBN(c0, name="conv_input")(features, rb0, train)
+        x = SubMConvBN(c0, name="conv_input", compute_dtype=self.compute_dtype)(features, rb0, train)
         x = SubMConvBN(c0, name="conv1")(x, rb0, train)
         out = {"x_conv1": (x, keys, g0)}  # PlainBranch is not remat-wrapped
         cur_keys, cur_grid = keys, g0

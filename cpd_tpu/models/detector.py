@@ -86,6 +86,10 @@ class VoxelRCNN(nn.Module):
     # of each slot is chosen by its config NAME
     backbone3d_name: str = "VoxelResBackBone8x"
     backbone_lut_max_cells: Any = None  # BACKBONE_3D.LUT_MAX_CELLS
+    # BACKBONE_3D.DENSE_TAIL: run stage 4 + conv_out as dense MXU conv3d and
+    # feed the BEV map straight from the dense grid (backbone3d.ResBranch.
+    # _dense_tail); numerically equal to the sparse path, same param tree
+    dense_tail: bool = False
     dense_head_name: str = "CenterHead"
     roi_head_name: str = "VoxelRCNNProtoHead"
     dense_head_cfg: Any = None  # extra kwargs for anchor heads (sizes, thresholds...)
@@ -123,6 +127,7 @@ class VoxelRCNN(nn.Module):
         if b3d_cls is VoxelResBackBone8x:
             b3d_kwargs["remat"] = (self.remat if self.remat_backbone is None
                                    else self.remat_backbone)
+            b3d_kwargs["dense_tail"] = self.dense_tail
         self.backbone = b3d_cls(**b3d_kwargs)
         self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
         head_cls = _DENSE_HEADS[self.dense_head_name]
@@ -196,8 +201,13 @@ class VoxelRCNN(nn.Module):
             keys_mm = keys_from_frame(frame_mm, self.grid)
         backbone_out = self.backbone(frame.features, keys, train, feats_mm, keys_mm)
 
-        enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
-        bev = height_compression(enc_feats, enc_keys, enc_grid)
+        if "encoded_bev" in backbone_out:
+            # dense-tail backbone already produced the BEV map (no sparse
+            # round trip through height_compression)
+            bev = backbone_out.pop("encoded_bev")
+        else:
+            enc_feats, enc_keys, enc_grid = backbone_out["encoded"]
+            bev = height_compression(enc_feats, enc_keys, enc_grid)
         if packing:
             maps = [bev[i * b:(i + 1) * b] for i in range(self.align_stages)]
             bev = bev_align_params(
@@ -216,8 +226,11 @@ class VoxelRCNN(nn.Module):
                                       batch.get(f"points_stage{i}_valid"))
                 keys_i = keys_from_frame(fr_i, self.grid)
                 bo_i = self.backbone(fr_i.features, keys_i, train)
-                ef, ek, eg = bo_i["encoded"]
-                maps.append(height_compression(ef, ek, eg))
+                if "encoded_bev" in bo_i:
+                    maps.append(bo_i["encoded_bev"])
+                else:
+                    ef, ek, eg = bo_i["encoded"]
+                    maps.append(height_compression(ef, ek, eg))
             bev = bev_align_params(
                 maps, batch["transform_param"], self.point_cloud_range,
                 self.voxel_size[0] * 8, fusion=self.align_method)
@@ -465,6 +478,7 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
         backbone3d_name=b3d_name,
         backbone_lut_max_cells=(int(b3d["LUT_MAX_CELLS"])
                                 if "LUT_MAX_CELLS" in b3d else None),
+        dense_tail=bool(b3d.get("DENSE_TAIL", False)),
         dense_head_name=dense_name,
         dense_head_cfg=_anchor_head_cfg(dh) if dense_name != "CenterHead" else None,
         roi_head_name=roi_name,

@@ -1050,6 +1050,37 @@ def to_dense(features, keys, grid: GridSpec, channels: int):
     return dense.reshape(grid.nz, grid.ny, grid.nx, channels)
 
 
+def dense_mask_from_keys(keys, grid: GridSpec):
+    """(V,) sorted keys -> (nz, ny, nx) bool occupancy grid."""
+    target = jnp.where(keys != INVALID_KEY, keys, grid.num_cells)
+    mask = jnp.zeros((grid.num_cells,), jnp.bool_).at[target].set(True, mode="drop")
+    return mask.reshape(grid.nz, grid.ny, grid.nx)
+
+
+def keys_from_dense_mask(mask_flat, cap: int):
+    """(num_cells,) bool occupancy -> ((cap,) sorted int32 keys with
+    INVALID_KEY padding, (cap,) bool valid).
+
+    Rank-compaction: the exclusive cumsum of the mask is each occupied cell's
+    output slot, ascending in cell order, so the result is sorted without a
+    sort. Occupancy beyond ``cap`` drops the highest keys (the same tail the
+    capped rulebook extraction drops)."""
+    m = mask_flat.astype(jnp.int32)
+    rank = jnp.cumsum(m) - m  # exclusive prefix count
+    target = jnp.where(mask_flat, rank, cap)
+    cells = jnp.arange(mask_flat.shape[0], dtype=jnp.int32)
+    keys = jnp.full((cap,), INVALID_KEY, jnp.int32).at[target].set(cells, mode="drop")
+    return keys, keys != INVALID_KEY
+
+
+def rows_from_dense(dense_flat, keys):
+    """Gather (V, C) sparse rows out of a (num_cells, C) dense grid; padding
+    rows (INVALID_KEY) come back zero."""
+    valid = keys != INVALID_KEY
+    rows = dense_flat[jnp.where(valid, keys, 0)]
+    return rows * valid[:, None].astype(rows.dtype)
+
+
 def masked_batch_stats(features, valid):
     """Mean/var over valid voxels of (..., V, C) features. Returns (mean (C,), var (C,))."""
     mask = valid[..., None].astype(features.dtype)

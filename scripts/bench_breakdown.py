@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--max-voxels", type=int, default=90_000)
     ap.add_argument("--caps", type=int, nargs=4, default=(80_000, 48_000, 24_000, 20_000),
                     help="audited beam-structured-frame caps (bench.py docstring)")
+    ap.add_argument("--dense-tail", action="store_true",
+                    help="stage 4 + conv_out as dense MXU conv3d")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +60,7 @@ def main():
         backbone_caps=tuple(args.caps),
         mm=False,
         num_rois=500,
+        dense_tail=args.dense_tail,
         num_rois_test=200,
         roi_per_image=130,
     )
