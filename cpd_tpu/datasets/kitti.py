@@ -105,6 +105,37 @@ def boxes_lidar_to_camera(boxes, calib: Calibration):
     return loc, boxes[:, 3:6], ry
 
 
+def camera_boxes_to_image_bboxes(loc, lwh, ry, calib: Calibration,
+                                 image_shape=(375, 1242)):
+    """Camera-frame boxes -> (N, 4) image bboxes: the 8 projected corners'
+    min/max, clipped to the image (parity: boxes3d_kitti_camera_to_imageboxes
+    used by kitti2waymo_dataset.py:280-282)."""
+    n = len(loc)
+    if n == 0:
+        return np.zeros((0, 4), np.float32)
+    l, w, h = lwh[:, 0], lwh[:, 1], lwh[:, 2]
+    # camera rect frame: x right, y DOWN, z forward; loc = box bottom center;
+    # l along x (pre-rotation), h along -y, w along z
+    xc = np.asarray([0.5, 0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5])
+    yc = np.asarray([0.0, 0.0, 0.0, 0.0, -1.0, -1.0, -1.0, -1.0])
+    zc = np.asarray([0.5, -0.5, -0.5, 0.5, 0.5, -0.5, -0.5, 0.5])
+    cx = xc[None] * l[:, None]
+    cy = yc[None] * h[:, None]
+    cz = zc[None] * w[:, None]
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    corners = np.stack([c * cx + s * cz, cy, -s * cx + c * cz], axis=-1)
+    corners = corners + loc[:, None, :]
+    uv, _ = calib.rect_to_img(corners.reshape(-1, 3))
+    uv = uv.reshape(n, 8, 2)
+    bbox = np.stack([uv[..., 0].min(1), uv[..., 1].min(1),
+                     uv[..., 0].max(1), uv[..., 1].max(1)], axis=-1)
+    bbox[:, 0] = np.clip(bbox[:, 0], 0, image_shape[1] - 1)
+    bbox[:, 1] = np.clip(bbox[:, 1], 0, image_shape[0] - 1)
+    bbox[:, 2] = np.clip(bbox[:, 2], 0, image_shape[1] - 1)
+    bbox[:, 3] = np.clip(bbox[:, 3], 0, image_shape[0] - 1)
+    return bbox.astype(np.float32)
+
+
 @register_dataset("Kitti2WaymoDataset")
 class Kitti2WaymoDataset(DatasetTemplate):
     def __init__(self, dataset_cfg=None, class_names=None, training=True,
@@ -171,6 +202,14 @@ class Kitti2WaymoDataset(DatasetTemplate):
         return self.prepare_data(data)
 
     def generate_prediction_dicts(self, batch, pred_dicts, class_names, output_path=None):
+        """Prediction dicts with the KITTI camera-protocol fields.
+
+        Parity: kitti2waymo_dataset.py:247-307 -- predictions are projected
+        to the camera frame (location/dimensions/rotation_y), given an
+        observation angle ``alpha`` and an image-plane ``bbox`` (projected
+        corners clipped to the image), so the bbox-AP/AOS eval dimensions
+        run off the real dataset path.
+        """
         out = []
         boxes = np.asarray(pred_dicts["pred_boxes"])
         scores = np.asarray(pred_dicts["pred_scores"])
@@ -183,11 +222,27 @@ class Kitti2WaymoDataset(DatasetTemplate):
             bx = boxes[i][m]
             if self.test_augmentor is not None and len(bx):
                 bx = self.test_augmentor.backward(bx.copy())
-            out.append({
+            rec = {
                 "frame_id": batch["frame_id"][i],
                 "boxes_lidar": bx, "score": scores[i][m], "name": names,
                 "pred_labels": lb,
-            })
+            }
+            try:
+                calib = self.get_calib(str(batch["frame_id"][i]))
+            except (OSError, KeyError):
+                calib = None
+            if calib is not None:
+                img_shape = tuple(np.asarray(batch["image_shape"][i]).tolist()) \
+                    if "image_shape" in batch else (375, 1242)
+                loc, lwh, ry = boxes_lidar_to_camera(bx.reshape(-1, 7), calib)
+                rec["location"] = loc.astype(np.float32)
+                rec["dimensions"] = lwh.astype(np.float32)
+                rec["rotation_y"] = ry.astype(np.float32)
+                # alpha = -atan2(-y, x) + ry (kitti2waymo_dataset.py:347)
+                rec["alpha"] = (-np.arctan2(-bx[:, 1], bx[:, 0]) + ry).astype(np.float32)
+                rec["bbox"] = camera_boxes_to_image_bboxes(loc, lwh, ry, calib,
+                                                           img_shape)
+            out.append(rec)
         return out
 
     def evaluation(self, det_annos, class_names, **kwargs):
@@ -206,6 +261,14 @@ class Kitti2WaymoDataset(DatasetTemplate):
                 "gt_boxes_lidar": boxes_camera_to_lidar(objs, calib),
                 "name": np.asarray([KITTI2WAYMO_NAME[o.cls_type] for o in objs]),
                 "difficulty": np.asarray([min(o.difficulty, 2) for o in objs]),
+                # camera-protocol fields: the official clean_data difficulty
+                # gates (eval.py:58-110) key on truncation/occlusion/bbox
+                # height, and AOS needs the label alpha
+                "truncated": np.asarray([o.truncation for o in objs]),
+                "occluded": np.asarray([o.occlusion for o in objs]),
+                "alpha": np.asarray([o.alpha for o in objs]),
+                "bbox": (np.stack([o.box2d for o in objs])
+                         if objs else np.zeros((0, 4))),
             })
         return annos
 

@@ -107,9 +107,19 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     k2 = rbs["down3"].out_keys
     lut2 = stage_lut(k2, g["x_conv3"])
     rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"], lut=lut2)
+    if with_transpose:
+        # transposes for the strided convs that exist on EVERY path (the
+        # dense tail still trains down2/down3 through the sparse custom-VJP,
+        # so their gather-only backward needs these)
+        rbs["down2_T"] = sparse.build_inverse_rulebook_batched(
+            keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out_lut=lut1)
+        rbs["down3_T"] = sparse.build_inverse_rulebook_batched(
+            k1, k2, g["x_conv2"], g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out_lut=lut2)
     if dense_tail:
         # stage 4 + conv_out run as dense conv3d (ResBranch._dense_tail):
-        # none of the stage-4 rulebooks (or their transposes) are needed
+        # the stage-4 rulebooks (and their transposes) are never needed
         return rbs
     rbs["down4"], _ = sparse.build_conv_rulebook_batched(
         k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2], lut=lut2)
@@ -120,12 +130,6 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
         rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
             k3, g["x_conv4"], (1, 1, 3), (1, 1, 2), (0, 0, 0), caps[3], lut=lut3)
     if with_transpose:
-        rbs["down2_T"] = sparse.build_inverse_rulebook_batched(
-            keys, k1, g["x_conv1"], g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
-            out_lut=lut1)
-        rbs["down3_T"] = sparse.build_inverse_rulebook_batched(
-            k1, k2, g["x_conv2"], g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 1),
-            out_lut=lut2)
         rbs["down4_T"] = sparse.build_inverse_rulebook_batched(
             k2, k3, g["x_conv3"], g["x_conv4"], (3, 3, 3), (2, 2, 2), (1, 1, 0),
             out_lut=lut3)
@@ -328,6 +332,13 @@ class ResBranch(nn.Module):
         extraction + re-scatter round trip). x_conv4 rows are gathered back
         out of the dense grid for the RoI head (keys via rank compaction of
         the occupancy mask: same sorted key set the capped rulebook emits).
+
+        Cap-overflow note: the dense convs/BN/BEV cover ALL occupied sites,
+        while the sparse path truncates at caps[2]/caps[3] -- above the cap
+        the extracted keys4/rows4 drop the key-order tail but the BEV map
+        keeps it. Strictly MORE information than the sparse path (which
+        drops those sites everywhere); equality with the sparse path holds
+        below the caps, which the shipped caps are sized for.
         """
         c2, c3 = self.num_filters[2], self.num_filters[3]
         g = stage_grids(self.grid)
@@ -444,28 +455,30 @@ class PlainBranch(nn.Module):
     num_filters: Tuple[int, ...] = (16, 32, 64, 64)
     caps: Tuple[int, ...] = (80000, 60000, 40000, 40000)
     bn_axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features, keys, train: bool):
         c0, c1, c2, c3 = self.num_filters
+        cd = self.compute_dtype
         g0 = self.grid
         rb0 = sparse.build_subm_rulebook_batched(keys, g0)
-        x = SubMConvBN(c0, name="conv_input", compute_dtype=self.compute_dtype)(features, rb0, train)
-        x = SubMConvBN(c0, name="conv1")(x, rb0, train)
+        x = SubMConvBN(c0, name="conv_input", compute_dtype=cd)(features, rb0, train)
+        x = SubMConvBN(c0, name="conv1", compute_dtype=cd)(x, rb0, train)
         out = {"x_conv1": (x, keys, g0)}  # PlainBranch is not remat-wrapped
         cur_keys, cur_grid = keys, g0
         for i, (c, cap, pz) in enumerate(zip((c1, c2, c3), self.caps[:3], (1, 1, 0))):
             rb_d, g = sparse.build_conv_rulebook_batched(
                 cur_keys, cur_grid, (3, 3, 3), (2, 2, 2), (1, 1, pz), cap)
-            x = StridedConvBN(c, 27, name=f"down{i + 2}")(x, rb_d, train)
+            x = StridedConvBN(c, 27, name=f"down{i + 2}", compute_dtype=cd)(x, rb_d, train)
             cur_keys, cur_grid = rb_d.out_keys, g
             rb = sparse.build_subm_rulebook_batched(cur_keys, cur_grid)
-            x = SubMConvBN(c, name=f"conv{i + 2}a")(x, rb, train)
-            x = SubMConvBN(c, name=f"conv{i + 2}b")(x, rb, train)
+            x = SubMConvBN(c, name=f"conv{i + 2}a", compute_dtype=cd)(x, rb, train)
+            x = SubMConvBN(c, name=f"conv{i + 2}b", compute_dtype=cd)(x, rb, train)
             out[f"x_conv{i + 2}"] = (x, cur_keys, cur_grid)
         rb_out, g_out = sparse.build_conv_rulebook_batched(
             cur_keys, cur_grid, (1, 1, 3), (1, 1, 2), (0, 0, 0), self.caps[3])
-        x = StridedConvBN(128, 3, name="conv_out")(x, rb_out, train)
+        x = StridedConvBN(128, 3, name="conv_out", compute_dtype=cd)(x, rb_out, train)
         out["encoded"] = (x, rb_out.out_keys, g_out)
         return out
 

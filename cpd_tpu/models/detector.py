@@ -29,7 +29,11 @@ from .anchor_head import (AnchorHeadSingle, AnchorHeadSingleV2,
 from .backbone3d import VoxelBackBone8x, VoxelResBackBone8x, stage_grids
 from .bev import BaseBEVBackbone, bev_align_params, height_compression
 from .center_head import CenterHead
+from .part_wraper import PartWraper
+from .pfe import VoxelSetAbstraction
+from .pillars import PillarVFE, pointpillar_scatter
 from .roi_head import VoxelRCNNProtoHead
+from .temporal import ConvGRU, ConvLSTM, TemporalConcatenation
 
 _DENSE_HEADS = {
     "CenterHead": CenterHead,
@@ -43,6 +47,19 @@ _BACKBONES_3D = {
 # VoxelRCNNHead is the ProtoHead with the MM/proto branch disabled
 # (voxel_rcnn_head.py: same pooling/towers; CPD adds the second branch)
 _ROI_HEADS = {"VoxelRCNNProtoHead": True, "VoxelRCNNHead": False}
+# NAME-driven slots for the remaining module topology entries
+# (detector3d_template.py:22-25,53-217). MeanVFE is the fused on-device
+# voxelizer (mean over the voxel's points); PillarVFE is the PointPillars
+# feature net. HeightCompression is the sparse->dense BEV projection;
+# PointPillarScatter scatters pillar features straight to BEV (no 3D
+# backbone -- the reference builds each module only when its cfg key
+# exists, so a pillars config simply omits BACKBONE_3D).
+_VFES = ("MeanVFE", "PillarVFE")
+_MAP_TO_BEV = ("HeightCompression", "PointPillarScatter")
+_TEMPORAL = {"TemporalConcatenation": TemporalConcatenation,
+             "ConvGRU": ConvGRU, "ConvLSTM": ConvLSTM}
+_PFES = {"VoxelSetAbstraction": VoxelSetAbstraction}
+_WRAP_HEADS = {"PartWraper": PartWraper}
 
 
 def keys_from_frame(frame, grid: GridSpec):
@@ -106,6 +123,19 @@ class VoxelRCNN(nn.Module):
     # their sparse tensors are folded into one batch and the rulebooks/GEMMs
     # dispatch once). False = S sequential backbone passes (lower peak HBM)
     pack_align_stages: bool = True
+    # remaining NAME-driven topology slots (detector3d_template.py:22-25):
+    # VFE / MAP_TO_BEV / TEMPORAL_MODEL / PFE / WRAP_HEAD. Defaults match the
+    # shipped CPD configs (MeanVFE fused into the voxelizer, sparse-to-dense
+    # HeightCompression, no temporal/pfe/wrap modules).
+    vfe_name: str = "MeanVFE"
+    vfe_filters: Tuple[int, ...] = (64,)
+    map_to_bev_name: str = "HeightCompression"
+    temporal_name: Any = None       # TemporalConcatenation | ConvGRU | ConvLSTM
+    temporal_features: int = 256    # TEMPORAL_MODEL.NUM_TEMPORAL_FEATURES
+    num_frames: int = 1             # history length T for the temporal model
+    pfe_name: Any = None            # VoxelSetAbstraction
+    pfe_cfg: Any = None             # extra kwargs (num_keypoints, nsample, ...)
+    wrap_head_name: Any = None      # PartWraper
 
     def setup(self):
         self.vox_spec = VoxelizerSpec.create(
@@ -115,20 +145,55 @@ class VoxelRCNN(nn.Module):
         nx, ny, nz = self.vox_spec.grid_size
         # spconv convention: +1 on z so the encoder bottoms out at depth 2
         self.grid = GridSpec(nx, ny, nz + 1)
-        b3d_cls = _BACKBONES_3D[self.backbone3d_name]
-        b3d_kwargs = dict(
-            grid=self.grid,
-            num_filters=self.backbone_filters,
-            caps=self.backbone_caps,
-            mm=self.mm,
-            bn_axis_name=self.bn_axis_name,
-            lut_max_cells=self.backbone_lut_max_cells,
-        )
-        if b3d_cls is VoxelResBackBone8x:
-            b3d_kwargs["remat"] = (self.remat if self.remat_backbone is None
-                                   else self.remat_backbone)
-            b3d_kwargs["dense_tail"] = self.dense_tail
-        self.backbone = b3d_cls(**b3d_kwargs)
+        if self.vfe_name not in _VFES:
+            raise KeyError(f"unknown VFE.NAME {self.vfe_name!r}; known: {_VFES}")
+        if self.map_to_bev_name not in _MAP_TO_BEV:
+            raise KeyError(f"unknown MAP_TO_BEV.NAME {self.map_to_bev_name!r}; "
+                           f"known: {_MAP_TO_BEV}")
+        if self.vfe_name == "PillarVFE":
+            # PointPillars path: pillar feature net -> BEV scatter; there is
+            # no 3D backbone (the reference omits BACKBONE_3D in such configs)
+            if self.map_to_bev_name != "PointPillarScatter":
+                raise ValueError("PillarVFE requires MAP_TO_BEV PointPillarScatter")
+            if self.with_roi_head:
+                raise ValueError("the RoI head pools multi-scale sparse voxel "
+                                 "features; it needs a 3D backbone (not PillarVFE)")
+            self.vfe = PillarVFE(num_filters=self.vfe_filters)
+        elif self.backbone3d_name is None:
+            raise ValueError("the HeightCompression path needs a BACKBONE_3D "
+                             "(only PillarVFE+PointPillarScatter runs without one)")
+        if self.backbone3d_name is not None and self.vfe_name != "PillarVFE":
+            b3d_cls = _BACKBONES_3D[self.backbone3d_name]
+            b3d_kwargs = dict(
+                grid=self.grid,
+                num_filters=self.backbone_filters,
+                caps=self.backbone_caps,
+                mm=self.mm,
+                bn_axis_name=self.bn_axis_name,
+                lut_max_cells=self.backbone_lut_max_cells,
+            )
+            if b3d_cls is VoxelResBackBone8x:
+                b3d_kwargs["remat"] = (self.remat if self.remat_backbone is None
+                                       else self.remat_backbone)
+                b3d_kwargs["dense_tail"] = self.dense_tail
+            self.backbone = b3d_cls(**b3d_kwargs)
+        if self.temporal_name is not None:
+            t_cls = _TEMPORAL[self.temporal_name]
+            t_kw = ({"out_channels": self.temporal_features}
+                    if t_cls is TemporalConcatenation
+                    else {"hidden": self.temporal_features})
+            self.temporal = t_cls(**t_kw)
+        if self.pfe_name is not None:
+            self.pfe = _PFES[self.pfe_name](
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                **dict(self.pfe_cfg or {}),
+            )
+        if self.wrap_head_name is not None:
+            self.wrap_head = _WRAP_HEADS[self.wrap_head_name](
+                point_cloud_range=self.point_cloud_range,
+                voxel_size=self.voxel_size,
+            )
         self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
         head_cls = _DENSE_HEADS[self.dense_head_name]
         if head_cls is CenterHead:
@@ -165,6 +230,13 @@ class VoxelRCNN(nn.Module):
         """batch: points (B, P, C), points_valid (B, P); train additionally
         points1/points1_valid (proto-completed view) when mm."""
         b = batch["points"].shape[0]
+        if self.vfe_name == "PillarVFE":
+            # PointPillars path: pillar feature net -> BEV scatter (no 3D
+            # backbone, detector3d_template.py builds only configured slots)
+            bev = self._pillar_bev(batch["points"], batch.get("points_valid"),
+                                   train)
+            backbone_out: Dict[str, Any] = {}
+            return self._bev_to_heads(bev, backbone_out, batch, train)
         aligning = (self.align_stages > 1 and "transform_param" in batch
                     and "points_stage1" in batch)
         # pack at EVAL only, like the reference (spconv_backbone.py:241): in
@@ -234,6 +306,24 @@ class VoxelRCNN(nn.Module):
             bev = bev_align_params(
                 maps, batch["transform_param"], self.point_cloud_range,
                 self.voxel_size[0] * 8, fusion=self.align_method)
+        return self._bev_to_heads(bev, backbone_out, batch, train)
+
+    def _bev_to_heads(self, bev, backbone_out, batch, train: bool):
+        """Shared tail: (temporal fusion) -> 2D backbone -> dense head ->
+        proposals -> (pfe) -> roi head -> (wrap head)."""
+        b = batch["points"].shape[0]
+        if self.temporal_name is not None:
+            # BEV history fusion (temporal_cat.py / ConvGRU.py / ConvLSTM.py):
+            # past frames ("points_prev{i}") run through the SHARED encoders;
+            # missing history keys shorten the window (T=1 = fuse-only)
+            maps = [bev]
+            for i in range(1, self.num_frames):
+                k = f"points_prev{i}"
+                if k not in batch:
+                    break
+                maps.append(self._bev_single(batch[k], batch.get(k + "_valid"),
+                                             train))
+            bev = self.temporal(jnp.stack(maps, axis=1), train)
         st_features_2d = self.bev_backbone(bev, train)
         n_rois = self.num_rois if train else self.num_rois_test
         rpn_nms = dict(self.rpn_nms or {
@@ -258,18 +348,76 @@ class VoxelRCNN(nn.Module):
         out = {
             "head_preds": head_preds,
             "backbone_out": backbone_out,
-            "bev_grid": enc_grid,
         }
         # proposals are constants to the second stage (reference proposal_layer
         # runs under no_grad, roi_head_template.py:52); RPN learns via its own loss
         proposals = jax.tree_util.tree_map(jax.lax.stop_gradient, proposals)
         out.update(proposals)
+        if self.pfe_name is not None and backbone_out:
+            # PV-RCNN-style keypoint features (voxel_set_abstraction.py);
+            # exposed for point-head/roi consumers and downstream analysis
+            ones = jnp.ones(batch["points"].shape[:2], bool)
+            kp, kf, kv = self.pfe(batch["points"],
+                                  batch.get("points_valid", ones),
+                                  backbone_out, bev, train)
+            out["point_coords"] = kp
+            out["point_features"] = kf
+            out["point_valid"] = kv
         if self.with_roi_head:
             roi_out = self.roi_head(
                 proposals, backbone_out, batch, train,
             )
             out.update(roi_out)
+        if self.wrap_head_name is not None:
+            # part-based confidence re-scoring (part_wraper.py:151-210: the
+            # wrap head's part confidences REPLACE the box cls scores)
+            wboxes = out.get("batch_box_preds", out["rois"])[..., :7]
+            wvalid = out["roi_valid"]
+            part_conf, _ = self.wrap_head(st_features_2d, wboxes, wvalid, train)
+            out["wrap_conf"] = part_conf
+            out["wrap_boxes"] = wboxes
         return out
+
+    def _pillar_bev(self, points, valid, train: bool):
+        """PillarVFE over the dynamic-voxelizer output -> BEV scatter.
+
+        The reference runs its pillar net on the stacked ragged batch
+        (pillar_vfe.py); here the per-sample pillar tables are offset into
+        one (B*V) table so the PointNet + BN + segment-max run once."""
+        b, p, c = points.shape
+        if valid is None:
+            valid = jnp.ones((b, p), bool)
+        frame = voxelize_batch(points, self.vox_spec, valid,
+                               with_point_voxel_id=True)
+        v = frame.features.shape[1]
+        off = jnp.arange(b, dtype=jnp.int32)[:, None] * v
+        pid = jnp.where(frame.point_voxel_id >= 0,
+                        frame.point_voxel_id + off, -1)
+        centers_xy = jnp.stack([
+            (frame.coords[..., 2].astype(jnp.float32) + 0.5)
+            * self.voxel_size[0] + self.point_cloud_range[0],
+            (frame.coords[..., 1].astype(jnp.float32) + 0.5)
+            * self.voxel_size[1] + self.point_cloud_range[1],
+        ], axis=-1)
+        pooled = self.vfe(points.reshape(b * p, c), pid.reshape(b * p),
+                          frame.features[..., :3].reshape(b * v, 3),
+                          centers_xy.reshape(b * v, 2), b * v, train)
+        pooled = pooled.reshape(b, v, -1)
+        keys = keys_from_frame(frame, self.grid)
+        return jax.vmap(
+            lambda f, k: pointpillar_scatter(f, k, self.grid))(pooled, keys)
+
+    def _bev_single(self, points, valid, train: bool):
+        """BEV map of ONE frame through the shared encoders (temporal history)."""
+        if self.vfe_name == "PillarVFE":
+            return self._pillar_bev(points, valid, train)
+        frame = voxelize_batch(points, self.vox_spec, valid)
+        keys = keys_from_frame(frame, self.grid)
+        bo = self.backbone(frame.features, keys, train)
+        if "encoded_bev" in bo:
+            return bo["encoded_bev"]
+        ef, ek, eg = bo["encoded"]
+        return height_compression(ef, ek, eg)
 
     def _anchor_proposals(self, preds, n_rois, nms_cfg):
         """Anchor-head proposal layer: decode + class-agnostic NMS -> fixed-size
@@ -311,6 +459,12 @@ class VoxelRCNN(nn.Module):
             rcnn_loss, tb2 = self.roi_head.get_loss(out, batch)
             total = total + rcnn_loss
             tb.update(tb2)
+        if "wrap_conf" in out:
+            wrap_loss = self.wrap_head.get_loss(
+                out["wrap_conf"], out["wrap_boxes"], out["roi_valid"],
+                batch["gt_boxes"], batch["gt_valid"])
+            total = total + wrap_loss
+            tb["wrap_loss"] = wrap_loss
         tb["rpn_loss"] = rpn_loss
         tb["total_loss"] = total
         return total, tb
@@ -334,7 +488,14 @@ class VoxelRCNN(nn.Module):
         """
         nms_cfg = nms_cfg or {"NMS_THRESH": 0.3, "NMS_PRE_MAXSIZE": 4096,
                               "NMS_POST_MAXSIZE": post_max}
-        if "batch_box_preds" in out:  # two-stage refined
+        if "wrap_conf" in out:
+            # wrap head replaces the cls scores with its part confidences
+            # (part_wraper.py:205-207 overwrites batch_cls_preds)
+            boxes = out["wrap_boxes"]
+            scores = out["wrap_conf"]
+            labels = out["roi_labels"]
+            valid = out["roi_valid"]
+        elif "batch_box_preds" in out:  # two-stage refined
             boxes = out["batch_box_preds"]
             scores = jax.nn.sigmoid(out["batch_cls_preds"][..., 0])
             labels = out["roi_labels"]
@@ -443,17 +604,20 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
             vox_cfg = proc
     voxel_size = tuple(vox_cfg["VOXEL_SIZE"]) if vox_cfg else (0.1, 0.1, 0.15)
     max_voxels = int(vox_cfg["MAX_NUMBER_OF_VOXELS"]["train"]) if vox_cfg else 150000
-    b3d = model_cfg.get("BACKBONE_3D", {})
+    b3d = model_cfg.get("BACKBONE_3D", None)
     dh = model_cfg.get("DENSE_HEAD", {})
     roi = model_cfg.get("ROI_HEAD", None)
     dense_name = dh.get("NAME", "CenterHead")
     if dense_name not in _DENSE_HEADS:
         raise KeyError(f"unknown DENSE_HEAD.NAME {dense_name!r}; "
                        f"known: {sorted(_DENSE_HEADS)}")
-    b3d_name = b3d.get("NAME", "VoxelResBackBone8x")
-    if b3d_name not in _BACKBONES_3D:
+    # BACKBONE_3D is optional (detector3d_template.py:68-69: only configured
+    # slots are built -- a PointPillars config has no 3D backbone)
+    b3d_name = b3d.get("NAME", "VoxelResBackBone8x") if b3d is not None else None
+    if b3d_name is not None and b3d_name not in _BACKBONES_3D:
         raise KeyError(f"unknown BACKBONE_3D.NAME {b3d_name!r}; "
                        f"known: {sorted(_BACKBONES_3D)}")
+    b3d = b3d or {}
     roi_name = roi.get("NAME", "VoxelRCNNProtoHead") if roi else "VoxelRCNNProtoHead"
     if roi is not None and roi_name not in _ROI_HEADS:
         raise KeyError(f"unknown ROI_HEAD.NAME {roi_name!r}; known: {sorted(_ROI_HEADS)}")
@@ -490,6 +654,30 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
         roi_grid_size=int(roi.get("ROI_GRID_POOL", {}).get("GRID_SIZE", 6)) if roi else 6,
         rpn_nms=dict(dense_post.get("NMS_CONFIG", {})) or None,
         post_nms=dict(model_cfg.get("POST_PROCESSING", {}).get("NMS_CONFIG", {})) or None,
+    )
+    # remaining NAME-driven slots (VFE / MAP_TO_BEV / TEMPORAL_MODEL / PFE /
+    # WRAP_HEAD, detector3d_template.py:53-217)
+    vfe = model_cfg.get("VFE", {}) or {}
+    m2b = model_cfg.get("MAP_TO_BEV", {}) or {}
+    tm = model_cfg.get("TEMPORAL_MODEL", None)
+    pfe_c = model_cfg.get("PFE", None)
+    wrap = model_cfg.get("WRAP_HEAD", None)
+    pfe_kwargs = {}
+    if pfe_c:
+        if "NUM_KEYPOINTS" in pfe_c:
+            pfe_kwargs["num_keypoints"] = int(pfe_c["NUM_KEYPOINTS"])
+        if "NSAMPLE" in pfe_c:
+            pfe_kwargs["nsample"] = int(pfe_c["NSAMPLE"])
+    kwargs.update(
+        vfe_name=vfe.get("NAME", "MeanVFE"),
+        vfe_filters=tuple(vfe.get("NUM_FILTERS", (64,))),
+        map_to_bev_name=m2b.get("NAME", "HeightCompression"),
+        temporal_name=tm.get("NAME") if tm else None,
+        temporal_features=int(tm.get("NUM_TEMPORAL_FEATURES", 256)) if tm else 256,
+        num_frames=int(data_cfg.get("NUM_FRAMES", 1) or 1),
+        pfe_name=pfe_c.get("NAME") if pfe_c else None,
+        pfe_cfg=pfe_kwargs or None,
+        wrap_head_name=wrap.get("NAME") if wrap else None,
     )
     # detectors expose different field subsets (e.g. CenterPoint has no roi
     # head); keep only the fields the chosen class declares

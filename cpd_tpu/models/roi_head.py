@@ -255,8 +255,8 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
 
         # LUT built OUTSIDE the vmapped query: an in-vmap dense scatter
         # trips a TPU compiler check (scatter_emitter operand_indices)
-        eff_use = pool.QUERY_USE_LUT if use_lut is None else use_lut
-        eff_max = pool.QUERY_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
+        eff_use = pool.QUERY_USE_LUT_DEFAULT if use_lut is None else use_lut
+        eff_max = pool.QUERY_LUT_MAX_CELLS_DEFAULT if lut_max_cells is None else lut_max_cells
         if eff_use and grid.num_cells <= eff_max:
             from ..ops import sparse as _sparse
             luts = _sparse.build_bitmap_lut_batched(keys, grid)
@@ -547,9 +547,13 @@ class VoxelRCNNProtoHead(nn.Module):
             b_loss1 = jnp.sum(
                 loss_utils.bb_loss(pred0_ct, jax.lax.stop_gradient(pred1_ct))
                 * css * fgf) / denom
+            # cosine mask = (cls_labels >= 0) * css (voxel_rcnn_head.py:448-451)
+            # -- for the shipped 'roi_iou' label type labels are never < 0 so
+            # this equals valid*css; 'cls'-type interval-band rois (-1) differ
             feat_cons = loss_utils.cosine_consistency_loss(
                 out["shared_features0"], out["shared_features1"],
-                mask=valid.astype(jnp.float32) * css,
+                mask=(valid.astype(jnp.float32)
+                      * (t["cls_labels"] >= 0.0).astype(jnp.float32) * css),
             )
             it = batch.get("cur_it", jnp.asarray(self.proto_ramp_steps, jnp.float32))
             ramp = jnp.clip(it / self.proto_ramp_steps, min=0.0, max=1.0)

@@ -28,12 +28,12 @@ from .sparse import (DENSE_LUT_MAX_CELLS, GridSpec, INVALID_KEY, SENTINEL,
 from .geometry import rotate_points_along_z
 
 # LUT path for the RoI voxel queries: run-packed LUT gathers instead of the
-# (W, V+Q) rank-join sorts. These are the DEFAULTS of the ``use_lut`` /
-# ``lut_max_cells`` parameters (threaded from model configs via
-# ROI_HEAD.ROI_GRID_POOL.{USE_LUT, LUT_MAX_CELLS}); they are read at trace
-# time and are not jit cache keys -- prefer the explicit parameters.
-QUERY_USE_LUT = True
-QUERY_LUT_MAX_CELLS = 16_000_000
+# (W, V+Q) rank-join sorts. ``use_lut``/``lut_max_cells`` are plain function
+# parameters (threaded from model configs via
+# ROI_HEAD.ROI_GRID_POOL.{USE_LUT, LUT_MAX_CELLS}); the defaults below are
+# immutable -- there is no module-level tuning state.
+QUERY_USE_LUT_DEFAULT = True
+QUERY_LUT_MAX_CELLS_DEFAULT = 16_000_000
 
 
 def roi_grid_points(rois, grid_size: int):
@@ -162,8 +162,8 @@ def voxel_query_fast(
     max_taps: int = 135,
     lut=None,
     select: str = "nearest",
-    use_lut: bool = None,
-    lut_max_cells: int = None,
+    use_lut: bool = QUERY_USE_LUT_DEFAULT,
+    lut_max_cells: int = QUERY_LUT_MAX_CELLS_DEFAULT,
 ):
     """Single-radius voxel query (the reference's voxel_query.cu): delegates
     to :func:`voxel_query_multi` with one radius group. The tap set is the
@@ -196,8 +196,8 @@ def voxel_query_multi(
     max_taps: int = 135,
     lut=None,
     select: str = "first",
-    use_lut: bool = None,
-    lut_max_cells: int = None,
+    use_lut: bool = QUERY_USE_LUT_DEFAULT,
+    lut_max_cells: int = QUERY_LUT_MAX_CELLS_DEFAULT,
 ):
     """Multi-radius voxel query sharing ONE set of LUT lookups.
 
@@ -228,10 +228,6 @@ def voxel_query_multi(
     )
     qkeys = (qc_xyz[:, 2] * grid.ny + qc_xyz[:, 1]) * grid.nx + qc_xyz[:, 0]
     qkeys = jnp.where(in_grid, qkeys, SENTINEL)
-    if use_lut is None:
-        use_lut = QUERY_USE_LUT
-    if lut_max_cells is None:
-        lut_max_cells = QUERY_LUT_MAX_CELLS
     use_lut = (use_lut and grid.num_cells <= lut_max_cells) or lut is not None
     if use_lut:
         order = None  # LUT path: no query sorting, no unsort scatter

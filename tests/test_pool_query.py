@@ -147,13 +147,9 @@ def test_voxel_query_multi_lut_matches_join(monkeypatch):
     kwargs = dict(grid=grid, voxel_size=(0.4, 0.4, 0.6), point_cloud_range=(0, 0, 0, 16, 16, 6.6),
                   downsample=1, query_range=(3, 3, 3), radii=(0.8, 1.6), nsample=8)
 
-    # different max_taps values (both larger than the real tap set, so
-    # semantically identical) bust the jit cache; QUERY_USE_LUT is read at
-    # trace time and is not a cache key
-    monkeypatch.setattr(pool, "QUERY_USE_LUT", True)
-    out_lut = pool.voxel_query_multi(q, keys, max_taps=200, **kwargs)
-    monkeypatch.setattr(pool, "QUERY_USE_LUT", False)
-    out_join = pool.voxel_query_multi(q, keys, max_taps=201, **kwargs)
+    # use_lut is an explicit (static) parameter -- no module state involved
+    out_lut = pool.voxel_query_multi(q, keys, max_taps=200, use_lut=True, **kwargs)
+    out_join = pool.voxel_query_multi(q, keys, max_taps=201, use_lut=False, **kwargs)
     for (il, vl, cl), (ij, vj, cj) in zip(out_lut, out_join):
         np.testing.assert_array_equal(np.asarray(vl), np.asarray(vj))
         # indices may tie-break differently only where invalid

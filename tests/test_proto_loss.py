@@ -71,7 +71,9 @@ def _reference_proto_formula(out, cur_it):
     f1 = np.asarray(out["shared_features1"])
     cos = (f0 * f1).sum(-1) / (np.linalg.norm(f0, axis=-1)
                                * np.linalg.norm(f1, axis=-1) + 1e-12)
-    cmask = valid * css
+    # reference mask: (rcnn_cls_labels >= 0) * css (voxel_rcnn_head.py:448-451)
+    cls_ok = (np.asarray(t["cls_labels"]) >= 0.0).astype(np.float32)
+    cmask = valid * cls_ok * css
     cos_loss = -(cos * cmask).sum() / max(cmask.sum(), 1.0)
     w = 1e-5 + min(cur_it / 5000.0, 1.0) * (0.2 - 1e-5)
     return b_loss0 + w * w * b_loss1 + w * cos_loss
@@ -101,3 +103,31 @@ def test_proto_b_loss0_is_unramped():
     # the it=0 value is b_loss0 + (1e-5-scale terms): strictly positive ramp
     # dependence must come only from b_loss1/cosine
     assert p0[0.0] != p0[5000.0]
+
+
+def test_proto_cosine_mask_ignores_negative_cls_labels():
+    """The 'cls' CLS_SCORE_TYPE emits -1 labels in the ignore band; the
+    cosine consistency mask must follow (cls_labels >= 0) * css
+    (voxel_rcnn_head.py:448-451), NOT valid * css -- the two differ exactly
+    when -1 labels exist."""
+    out = _fixture(seed=3)
+    labels = np.asarray(out["roi_targets"]["cls_labels"]).copy()
+    labels[0, :3] = -1.0  # ignore-band rois
+    out["roi_targets"]["cls_labels"] = jnp.asarray(labels)
+    for cur_it in (1000.0, 20000.0):
+        _, tb = _get_loss(out, cur_it)
+        want = _reference_proto_formula(out, cur_it)
+        assert abs(tb["proto_loss"] - want) < 1e-4, (tb["proto_loss"], want)
+
+    # and the wrong (valid*css) mask must NOT match -- the case is non-vacuous
+    t = out["roi_targets"]
+    valid = np.asarray(t["valid"]).astype(np.float32)
+    css = np.asarray(t["css"])
+    f0 = np.asarray(out["shared_features0"])
+    f1 = np.asarray(out["shared_features1"])
+    cos = (f0 * f1).sum(-1) / (np.linalg.norm(f0, axis=-1)
+                               * np.linalg.norm(f1, axis=-1) + 1e-12)
+    wrong = -(cos * valid * css).sum() / max((valid * css).sum(), 1.0)
+    cls_ok = (np.asarray(t["cls_labels"]) >= 0.0).astype(np.float32)
+    right = -(cos * valid * cls_ok * css).sum() / max((valid * cls_ok * css).sum(), 1.0)
+    assert abs(wrong - right) > 1e-6
