@@ -249,7 +249,10 @@ class Kitti2WaymoDataset(DatasetTemplate):
         from ..evaluation import kitti_style_eval
 
         gt_annos = kwargs.get("gt_annos") or self.collect_gt_annos()
-        return kitti_style_eval(det_annos, gt_annos, class_names)
+        # both recall-position protocols, like the official eval (R40 is the
+        # headline; R11 is the legacy number papers still quote)
+        return kitti_style_eval(det_annos, gt_annos, class_names,
+                                n_points=(40, 11))
 
     def collect_gt_annos(self):
         annos = []
@@ -269,6 +272,14 @@ class Kitti2WaymoDataset(DatasetTemplate):
                 "alpha": np.asarray([o.alpha for o in objs]),
                 "bbox": (np.stack([o.box2d for o in objs])
                          if objs else np.zeros((0, 4))),
+                # camera-frame box fields: kitti_style_eval computes the
+                # official camera-frame 3D/BEV IoU from these (eval.py
+                # d3_box_overlap semantics); dims ordered (l, w, h)
+                "location": (np.stack([o.loc for o in objs])
+                             if objs else np.zeros((0, 3))),
+                "dimensions": (np.asarray([[o.l, o.w, o.h] for o in objs])
+                               if objs else np.zeros((0, 3))),
+                "rotation_y": np.asarray([o.ry for o in objs]),
             })
         return annos
 

@@ -173,7 +173,13 @@ def match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, ignore_mask=None,
 
 
 def average_precision(scores, tp, fp, num_gt, weights=None, n_points: int = 40):
-    """Interpolated AP over ``n_points`` recall positions (KITTI R40 style).
+    """Interpolated AP over ``n_points`` recall positions.
+
+    Recall-position protocols (kitti_object_eval_python/eval.py:561-572): the
+    R40 grid EXCLUDES recall 0 (``get_mAP_R40`` sums sample points 1..40 of
+    the 41-point grid -> linspace(1/40, 1, 40)); the legacy R11 grid INCLUDES
+    it (``get_mAP`` sums points 0, 4, ..., 40 -> linspace(0, 1, 11), where
+    the recall-0 term is the maximum precision overall).
 
     weights: per-det TP weight in [0,1] (APH heading accuracy); None = 1.
     """
@@ -188,8 +194,9 @@ def average_precision(scores, tp, fp, num_gt, weights=None, n_points: int = 40):
     craw = np.cumsum(tp)
     recall = craw / num_gt
     precision = ctp / np.maximum(craw + cfp, 1e-9)
+    start = 0.0 if n_points == 11 else 1.0 / n_points
     ap = 0.0
-    for r in np.linspace(1.0 / n_points, 1.0, n_points):
+    for r in np.linspace(start, 1.0, n_points):
         mask = recall >= r
         ap += (precision[mask].max() if mask.any() else 0.0) / n_points
     return float(ap)
@@ -287,6 +294,42 @@ KITTI_DIFFICULTY = {0: (0.15, 0, 40), 1: (0.3, 1, 25), 2: (0.5, 2, 25)}
 KITTI_SIMILAR = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
 KITTI_IOU_BBOX = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 
+_CAMERA_KEYS = ("location", "dimensions", "rotation_y")
+
+
+def camera_boxes_to_pseudo_lidar(loc, dims, ry):
+    """Camera-rect boxes -> 7-dof boxes in a pseudo-lidar frame whose 3D/BEV
+    IoU EQUALS the official camera-frame IoU (eval.py d3_box_overlap /
+    bev_box_overlap: rotated overlap in the camera x-z plane, height overlap
+    along y with the location at the box BOTTOM).
+
+    The rigid map (x_l, y_l, z_l) = (z_c, -x_c, -y_c) sends the camera x-z
+    plane to the lidar x-y plane and camera -y (up) to lidar +z; a rotation
+    ``ry`` around +y_c becomes heading ``-ry - pi/2`` around +z_l (the box
+    length axis x_c maps to -y_l). IoU is invariant under the rigid map, so
+    :func:`iou3d_pair` / :func:`iou_bev_pair` on these boxes reproduce the
+    official camera-frame overlaps exactly.
+
+    loc (N, 3) camera rect, bottom center; dims (N, 3) = (l, w, h); ry (N,).
+    """
+    loc = np.asarray(loc, np.float64).reshape(-1, 3)
+    dims = np.asarray(dims, np.float64).reshape(-1, 3)
+    ry = np.asarray(ry, np.float64).reshape(-1)
+    l, w, h = dims[:, 0], dims[:, 1], dims[:, 2]
+    return np.stack([loc[:, 2], -loc[:, 0], -loc[:, 1] + h / 2.0,
+                     l, w, h, -ry - np.pi / 2.0], axis=-1)
+
+
+def _has_camera_fields(anno) -> bool:
+    return all(k in anno for k in _CAMERA_KEYS)
+
+
+def _anno_camera_boxes(anno, sel):
+    loc = np.asarray(anno["location"]).reshape(-1, 3)[sel]
+    dims = np.asarray(anno["dimensions"]).reshape(-1, 3)[sel]
+    ry = np.asarray(anno["rotation_y"]).reshape(-1)[sel]
+    return camera_boxes_to_pseudo_lidar(loc, dims, ry)
+
 
 def _kitti_gt_ignore(gt, gm, dlevel, cls):
     """Per-gt ignore mask for one difficulty level, the official clean_data
@@ -306,18 +349,34 @@ def _kitti_gt_ignore(gt, gm, dlevel, cls):
 
 
 def kitti_style_eval(det_annos: List[dict], gt_annos: List[dict],
-                     class_names: Sequence[str], n_points: int = 40):
+                     class_names: Sequence[str], n_points=40,
+                     camera_frame_iou: bool = None):
     """AP per class x difficulty (protocol of kitti_object_eval_python
-    eval.py:650 ``do_eval``): 3D and BEV AP from the lidar-frame boxes, plus
-    2D bbox AP and AOS (orientation similarity over the 2D matching) when the
-    camera-protocol fields (bbox (N, 4), alpha (N,)) are present in both the
-    det and gt annotations. Similar classes (Van for Car, Person_sitting for
+    eval.py:650 ``do_eval``): 3D and BEV AP, plus 2D bbox AP and AOS
+    (orientation similarity over the 2D matching) when the camera-protocol
+    fields (bbox (N, 4), alpha (N,)) are present in both the det and gt
+    annotations. Similar classes (Van for Car, Person_sitting for
     Pedestrian) and sub-threshold gts are ignored, not counted.
+
+    ``n_points``: recall-position protocol(s) -- 40 (R40), 11 (legacy R11,
+    includes recall 0), or a sequence of both; matching runs once and each
+    protocol's AP is reported under ``_R{n}`` keys (eval.py emits both).
+
+    ``camera_frame_iou``: compute the 3D/BEV overlaps from the camera-frame
+    fields (location/dimensions/rotation_y) exactly as the official eval's
+    d3_box_overlap/bev_box_overlap do, instead of from the lidar-frame
+    boxes. Default (None) auto-enables when both det and gt annos carry the
+    camera fields (the real KITTI dataset path does).
     """
     results = {}
     names = ["easy", "moderate", "hard"]
+    protocols = (n_points,) if isinstance(n_points, int) else tuple(n_points)
     have_bbox = (det_annos and gt_annos
                  and "bbox" in det_annos[0] and "bbox" in gt_annos[0])
+    if camera_frame_iou is None:
+        camera_frame_iou = (det_annos and gt_annos
+                            and _has_camera_fields(det_annos[0])
+                            and _has_camera_fields(gt_annos[0]))
     for cls in class_names:
         iou_t = KITTI_IOU.get(cls, 0.5)
         for dlevel in (0, 1, 2):
@@ -326,14 +385,19 @@ def kitti_style_eval(det_annos: List[dict], gt_annos: List[dict],
             ngt = 0
             for det, gt in zip(det_annos, gt_annos):
                 dm = np.asarray(det["name"]) == cls
-                dboxes = np.asarray(det["boxes_lidar"]).reshape(-1, 7)[dm]
                 dscores = np.asarray(det["score"]).reshape(-1)[dm]
                 gname = np.asarray(gt["name"])
                 gm = gname == cls
                 similar = np.isin(gname, KITTI_SIMILAR.get(cls, ()))
                 gall = gm | similar
-                gboxes = (np.asarray(gt["gt_boxes_lidar"]).reshape(-1, 7)[gall]
-                          if gall.any() else np.zeros((0, 7)))
+                if camera_frame_iou:
+                    dboxes = _anno_camera_boxes(det, dm)
+                    gboxes = (_anno_camera_boxes(gt, gall) if gall.any()
+                              else np.zeros((0, 7)))
+                else:
+                    dboxes = np.asarray(det["boxes_lidar"]).reshape(-1, 7)[dm]
+                    gboxes = (np.asarray(gt["gt_boxes_lidar"]).reshape(-1, 7)[gall]
+                              if gall.any() else np.zeros((0, 7)))
                 ignore = _kitti_gt_ignore(gt, gall, dlevel, cls)
                 # similar-class gts are always ignore-matched
                 ignore = ignore | similar[gall]
@@ -375,10 +439,11 @@ def kitti_style_eval(det_annos: List[dict], gt_annos: List[dict],
                 fp = np.concatenate(recs[m]["fp"]) if recs[m]["fp"] else np.zeros(0, bool)
                 w = (np.concatenate(recs[m]["w"])
                      if m == "aos" and recs[m]["w"] else None)
-                results[f"{cls}_{tag}/{names[dlevel]}_R{n_points}"] = (
-                    average_precision(s, tp, fp, ngt, weights=w,
-                                      n_points=n_points) * 100
-                )
+                for np_ in protocols:
+                    results[f"{cls}_{tag}/{names[dlevel]}_R{np_}"] = (
+                        average_precision(s, tp, fp, ngt, weights=w,
+                                          n_points=np_) * 100
+                    )
     lines = [f"{k}: {v:.4f}" for k, v in sorted(results.items())]
     return "\n".join(lines), results
 

@@ -305,3 +305,93 @@ def test_kitti_similar_class_and_height_gates():
         det["name"] = np.asarray(["Car"] * len(det["name"]))
     _, r = kitti_style_eval(dets, gts, ["Car"])
     assert r["Car_3d/moderate_R40"] > 99.0
+
+
+def test_r11_protocol_matches_official_semantics():
+    """R11 INCLUDES the recall-0 sample (eval.py:561 get_mAP sums points
+    0,4,...,40 of the 41-grid / 11); R40 excludes it (get_mAP_R40 sums
+    1..40 / 40). tp=[1,0] over 2 gts: recall caps at 0.5, precision
+    [1.0, 0.5] -> R11 = 6 of 11 positions at precision 1.0, R40 = 20 of 40."""
+    scores = np.array([0.9, 0.8])
+    tp = np.array([1, 0], bool)
+    ap11 = average_precision(scores, tp, ~tp, num_gt=2, n_points=11)
+    ap40 = average_precision(scores, tp, ~tp, num_gt=2, n_points=40)
+    assert abs(ap11 - 6.0 / 11.0) < 1e-9, ap11
+    assert abs(ap40 - 0.5) < 1e-9, ap40
+
+
+def test_kitti_eval_emits_both_protocols():
+    dets, gts = _mk_annos(perfect=True)
+    _, r = kitti_style_eval(dets, gts, ["Vehicle"], n_points=(40, 11))
+    assert r["Vehicle_3d/moderate_R40"] > 99.0
+    assert r["Vehicle_3d/moderate_R11"] > 99.0
+
+
+def _camera_iou3d_oracle(a, b):
+    """Official camera-frame 3D IoU (eval.py d3_box_overlap semantics):
+    rotated rectangle overlap in the camera x-z plane + y-interval overlap
+    with location at the box bottom. Boxes (loc(3), l, w, h, ry)."""
+    from cpd_tpu.evaluation.ap import _clip, _area
+
+    def corners_xz(box):
+        x, _, z, l, w, _, ry = box
+        local = np.array([[l, w], [-l, w], [-l, -w], [l, -w]]) / 2.0
+        c, s = np.cos(ry), np.sin(ry)
+        # rotation around +y: x' = c*x + s*z, z' = -s*x + c*z
+        rot = np.array([[c, s], [-s, c]])
+        return local @ rot.T + np.array([x, z])
+
+    o = _area(_clip(corners_xz(a), corners_xz(b)))
+    ya0, ya1 = a[1] - a[5], a[1]  # y down, loc at bottom (max y)
+    yb0, yb1 = b[1] - b[5], b[1]
+    yo = max(0.0, min(ya1, yb1) - max(ya0, yb0))
+    inter = o * yo
+    va = a[3] * a[4] * a[5]
+    vb = b[3] * b[4] * b[5]
+    return inter / max(va + vb - inter, 1e-6)
+
+
+def test_camera_frame_iou_matches_official_oracle():
+    """camera_boxes_to_pseudo_lidar must make iou3d_pair reproduce the
+    official camera-frame 3D IoU exactly (rigid-map invariance)."""
+    from cpd_tpu.evaluation.ap import camera_boxes_to_pseudo_lidar, iou3d_pair
+
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        loc = rng.uniform(-10, 10, (2, 3))
+        loc[:, 2] = rng.uniform(5, 40, 2)
+        loc[1] = loc[0] + rng.normal(0, 1.0, 3)  # force overlap candidates
+        dims = rng.uniform(0.8, 5.0, (2, 3))
+        ry = rng.uniform(-np.pi, np.pi, 2)
+        pl = camera_boxes_to_pseudo_lidar(loc, dims, ry)
+        got = iou3d_pair(pl[0], pl[1])
+        a = np.concatenate([loc[0], dims[0], [ry[0]]])
+        b = np.concatenate([loc[1], dims[1], [ry[1]]])
+        want = _camera_iou3d_oracle(a, b)
+        assert abs(got - want) < 1e-6, (got, want)
+
+
+def test_kitti_eval_camera_frame_iou_auto_path():
+    """When det+gt annos carry location/dimensions/rotation_y, the 3D/BEV
+    overlaps come from the camera frame (official d3_box_overlap); exact
+    camera-frame duplicates score perfectly even with garbage lidar boxes."""
+    dets, gts = _mk_annos(perfect=True)
+    rng = np.random.default_rng(5)
+    for det, gt in zip(dets, gts):
+        n = len(gt["name"])
+        loc = rng.uniform(-5, 5, (n, 3))
+        loc[:, 2] = rng.uniform(8, 50, n)
+        dims = rng.uniform(1.0, 5.0, (n, 3))
+        ry = rng.uniform(-np.pi, np.pi, n)
+        for rec in (gt, det):
+            rec["location"] = loc.copy()
+            rec["dimensions"] = dims.copy()
+            rec["rotation_y"] = ry.copy()
+        # garbage lidar-frame dets: only the camera path can match
+        det["boxes_lidar"] = det["boxes_lidar"] + 1000.0
+    _, r = kitti_style_eval(dets, gts, ["Vehicle"])
+    assert r["Vehicle_3d/moderate_R40"] > 99.0
+    assert r["Vehicle_bev/moderate_R40"] > 99.0
+    # explicit opt-out falls back to the (garbage) lidar boxes
+    _, r2 = kitti_style_eval(dets, gts, ["Vehicle"], camera_frame_iou=False)
+    assert r2["Vehicle_3d/moderate_R40"] == 0.0
