@@ -96,7 +96,13 @@ class CProtoRefiner:
                  static_thresh: float = 0.5,
                  orien_thresh: float = 0.6,
                  motion_window: int = 10,
-                 min_proto_points: int = 50):
+                 min_proto_points: int = 50,
+                 apply_dynamic_pos: bool = False,
+                 cluster_eps: float = 0.5,
+                 cluster_min_points: int = 5,
+                 ground_min_threshold=(-0.5, -1.0, -1.5),
+                 ground_min_distance=(0.0, 20.0, 40.0, 100.0),
+                 ground_max_threshold: float = 1.0):
         self.css = css or CSS()
         # per-class dicts accepted (reference cfg BasicProtoScoreThresh /
         # HighQualityProtoNum are {'Vehicle':..,'Pedestrian':..,'Cyclist':..})
@@ -106,6 +112,15 @@ class CProtoRefiner:
         self.orien_thresh = orien_thresh
         self.motion_window = motion_window
         self.min_proto_points = min_proto_points
+        self.apply_dynamic_pos = apply_dynamic_pos
+        # refine_box_size re-clusters with the reference C_PROTO's own
+        # OutlineFitter params (c_proto_refine.py:52-61: GroundMin as the
+        # banded min-thresholds + the GeneratorConfig clustering values)
+        self.cluster_eps = cluster_eps
+        self.cluster_min_points = cluster_min_points
+        self.ground_min_threshold = tuple(ground_min_threshold)
+        self.ground_min_distance = tuple(ground_min_distance)
+        self.ground_max_threshold = float(ground_max_threshold)
 
     def _cls_param(self, param, cls, default):
         if isinstance(param, dict):
@@ -192,41 +207,73 @@ class CProtoRefiner:
 
     # -- pass 3 ----------------------------------------------------------
     def refine_box_size(self, frames, labels, protos, hq_ids):
+        """Pass 3, the reference's exact algorithm (c_proto_refine.py:332-477):
+        per box, gather raw frame points within a CYLINDER of radius
+        max(l, w), smooth them, recompute z/h from the smoothed floor
+        (h >= 1.3); Vehicles take the track prototype's l/w (else the
+        nearest-height high-quality prototype's, else the predefined size) --
+        other classes keep their own l/w; then the floor-trimmed, ground-
+        removed largest cluster re-scores CSS and, for Vehicles, re-orients
+        (when CSS > OrienThresh) and ALWAYS density-drifts the center."""
+        from .ground import GroundSegmenter, remove_ground_banded
+        from .outline import clustering, smooth_points
+
+        segmenter = GroundSegmenter()
         for f, frame in enumerate(frames):
-            pts = np.asarray(frame["points"], np.float64)
+            pts = np.asarray(frame["points"], np.float64)[:, :3]
             lab = labels[f]
             boxes = lab["outline_box"].astype(np.float64)
+            scores = np.asarray(lab["outline_score"], np.float32).copy()
             for i, box in enumerate(boxes):
                 cls = str(lab["outline_cls"][i])
                 tid = int(lab["outline_ids"][i])
-                css = float(lab["outline_score"][i])
-                p = protos.get(tid)
-                size = None
-                if p is not None and len(p["points"]) >= self.min_proto_points:
-                    size = p["size"]
-                elif cls in hq_ids and hq_ids[cls]:
-                    # nearest-height HQ prototype (c_proto_refine.py:332 rule)
-                    cands = [protos[t] for t in hq_ids[cls]]
-                    best = min(cands, key=lambda q: abs(q["size"][2] - box[5]))
-                    size = np.array([best["size"][0], best["size"][1], box[5]])
-                elif cls in PREDEFINED_SIZE:
-                    ps = PREDEFINED_SIZE[cls]
-                    size = np.array([ps[0], ps[1], box[5]])
-                if size is None:
+                if cls not in ("Vehicle", "Pedestrian", "Cyclist"):
                     continue
-                grab = box.copy()
-                grab[3:6] += 0.4
-                obj = pts[points_in_box_np(pts, grab)]
-                if css > self.orien_thresh and len(obj) >= 10:
-                    box = correct_orientation(box, obj)
-                if len(obj) >= 5:
-                    box = density_guided_drift(box, obj, (float(size[0]), float(size[1])))
+                dis = np.linalg.norm(pts[:, :2] - box[:2], axis=1)
+                low = pts[dis < max(box[3], box[4])]
+                if len(low):
+                    low = smooth_points(low)
+                z_min = low[:, 2].min() if len(low) else box[2] - box[5] / 2.0
+                z_max = box[2] + box[5] / 2.0
+                h = max(z_max - z_min, 1.3)
+                z = h / 2.0 + z_min
+                p = protos.get(tid)
+                if p is not None and len(p["points"]) >= self.min_proto_points:
+                    size_lw = p["size"][:2]
+                elif cls in hq_ids and hq_ids[cls]:
+                    cands = [protos[t] for t in hq_ids[cls]]
+                    best = min(cands, key=lambda q: abs(q["size"][2] - h))
+                    size_lw = best["size"][:2]
                 else:
-                    box[3], box[4] = size[0], size[1]
-                if size[2] > 0:
-                    box[5] = max(box[5], float(size[2]) * 0.9)
-                boxes[i] = box
+                    size_lw = PREDEFINED_SIZE.get(cls, (box[3], box[4]))[:2]
+                if cls == "Vehicle":
+                    new_box = np.array([box[0], box[1], z, size_lw[0],
+                                        size_lw[1], h, box[6]])
+                else:
+                    new_box = np.array([box[0], box[1], z, box[3], box[4], h,
+                                        box[6]])
+                if len(low):
+                    m = (low[:, 2] > z_min + 0.2) & (low[:, 2] < z_max)
+                    trimmed = low[m]
+                    ng = (remove_ground_banded(
+                        trimmed, segmenter,
+                        max_threshold=self.ground_max_threshold,
+                        min_threshold=self.ground_min_threshold,
+                        min_distance=self.ground_min_distance)
+                        if len(trimmed) else trimmed)
+                    if len(ng) > 10:
+                        clusters = clustering(ng, self.cluster_eps, 10,
+                                              min_points=self.cluster_min_points)
+                        if clusters:
+                            mc = max(clusters, key=len)
+                            scores[i] = self.css(mc, new_box, cls)
+                            if cls == "Vehicle":
+                                if scores[i] > self.orien_thresh:
+                                    new_box = correct_orientation(new_box, mc)
+                                new_box = density_guided_drift(new_box, mc)
+                boxes[i] = new_box
             lab["outline_box"] = boxes.astype(np.float32)
+            lab["outline_score"] = scores
         return labels
 
     # -- pass 4 ----------------------------------------------------------
@@ -252,8 +299,14 @@ class CProtoRefiner:
                     labels[f]["outline_box"][row] = box_rigid_transform(
                         best_world[None], inv
                     )[0].astype(np.float32)
-            else:
-                # dynamic: best size everywhere + motion-direction yaw
+            elif self.apply_dynamic_pos:
+                # dynamic: best size everywhere + motion-direction yaw.
+                # The reference COMPUTES this (c_proto_refine.py:597-645,
+                # new_pos_proto_dynamic) but its write-back loop (:645-672)
+                # checks only new_pos_proto_static -- the dynamic refinement
+                # is built and then dropped, so dynamic tracks keep their
+                # refine_box_size boxes. Default False for parity; set True
+                # to apply the (likely intended) dynamic branch.
                 best_f, best_row, _, _, _ = entries[best_i]
                 best_size = labels[best_f]["outline_box"][best_row][3:6]
                 world_centers = {f: e[3][:3] for e, f in zip(entries, frame_rows)}

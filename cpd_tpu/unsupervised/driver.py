@@ -92,13 +92,47 @@ def compute_outline_box(seq_name: str, root_path, config: dict,
     if "cluster_dis" in gen_cfg:
         gen_kw["eps"] = float(gen_cfg["cluster_dis"])
     if "cluster_min_points" in gen_cfg:
+        # clutter_min_points is a strictly-greater CLUSTER filter; the DBSCAN
+        # core size stays at the reference's fixed 10 (outline_utils.py:532)
         gen_kw["min_samples"] = int(gen_cfg["cluster_min_points"])
     if init_name == "MFCF":
+        gen_kw.pop("min_samples", None)
+        if "cluster_min_points" in gen_cfg:
+            gen_kw["min_points"] = int(gen_cfg["cluster_min_points"])
         if "ppscore_thresh" in gen_cfg:
             gen_kw["ppscore_thresh"] = float(gen_cfg["ppscore_thresh"])
         if "frame_num" in gen_cfg:
             gen_kw["window"] = int(gen_cfg["frame_num"])
+        if "frame_interval" in gen_cfg:
+            gen_kw["interval"] = int(gen_cfg["frame_interval"])
+        if "remove_short_track" in gen_cfg:
+            gen_kw["min_track_len"] = int(gen_cfg["remove_short_track"])
+        gates = {}
+        if "min_box_volume" in gen_cfg:
+            gates["min_box_volume"] = float(gen_cfg["min_box_volume"])
+        if "min_box_height" in gen_cfg:
+            gates["min_box_height"] = float(gen_cfg["min_box_height"])
+        if "max_box_volume" in gen_cfg:
+            gates["max_box_volume"] = float(gen_cfg["max_box_volume"])
+        if "max_box_len" in gen_cfg:
+            gates["max_box_len"] = float(gen_cfg["max_box_len"])
+        if "ground_min_threshold" in gen_cfg and "ground_min_distance" in gen_cfg:
+            gates["ground_adjust"] = (
+                float(np.asarray(gen_cfg["ground_min_threshold"]).reshape(-1)[0]),
+                float(np.asarray(gen_cfg["ground_min_distance"]).reshape(-1)[1]),
+            )
+        if gates:
+            gen_kw["gate_kw"] = gates
     generator = ALL_INIT[init_name](**gen_kw)
+    if init_name == "MFCF":
+        ground_kw = {}
+        if "ground_max_threshold" in gen_cfg:
+            ground_kw["max_threshold"] = float(gen_cfg["ground_max_threshold"])
+        if "ground_min_threshold" in gen_cfg:
+            ground_kw["min_threshold"] = tuple(gen_cfg["ground_min_threshold"])
+        if "ground_min_distance" in gen_cfg:
+            ground_kw["min_distance"] = tuple(gen_cfg["ground_min_distance"])
+        generator.ground_kw = ground_kw
     labels = generator(frames)
 
     proto_points = {}
@@ -108,6 +142,17 @@ def compute_outline_box(seq_name: str, root_path, config: dict,
         sizes = css_cfg.get("PredifinedSize")  # reference cfg key (sic)
         if sizes is not None:
             sizes = {k: tuple(v) for k, v in sizes.items()}
+        refine_kw = {}
+        if "GroundMin" in ref_cfg:
+            refine_kw["ground_min_threshold"] = tuple(ref_cfg["GroundMin"])
+        if "cluster_dis" in gen_cfg:
+            refine_kw["cluster_eps"] = float(gen_cfg["cluster_dis"])
+        if "cluster_min_points" in gen_cfg:
+            refine_kw["cluster_min_points"] = int(gen_cfg["cluster_min_points"])
+        if "ground_min_distance" in gen_cfg:
+            refine_kw["ground_min_distance"] = tuple(gen_cfg["ground_min_distance"])
+        if "ground_max_threshold" in gen_cfg:
+            refine_kw["ground_max_threshold"] = float(gen_cfg["ground_max_threshold"])
         refiner = CProtoRefiner(
             css=CSS(mlo_parts=tuple(css_cfg.get("MLOParts", (9, 7, 5))),
                     predefined_size=sizes),
@@ -115,6 +160,7 @@ def compute_outline_box(seq_name: str, root_path, config: dict,
             high_quality_num=ref_cfg.get("HighQualityProtoNum", 40),
             static_thresh=float(ref_cfg.get("HighQualityMotionThresh", 0.5)),
             orien_thresh=float(ref_cfg.get("OrienThresh", 0.6)),
+            **refine_kw,
         )
         labels, proto_points = refiner(frames, labels)
 

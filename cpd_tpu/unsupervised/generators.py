@@ -20,10 +20,10 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .ground import GroundSegmenter
+from .ground import GroundSegmenter, remove_ground_banded
 from .outline import (
-    box_fit, box_fit_DGD, clustering, corner_align, drop_cls, get_box_cls,
-    voxel_sampling, box_rigid_transform, points_rigid_transform,
+    box_fit, box_fit_DGD, clustering, corner_align, drop_cls, fit_gated_box,
+    get_box_cls, voxel_sampling, box_rigid_transform, points_rigid_transform,
 )
 from .tracker import TrackSmooth
 
@@ -56,14 +56,19 @@ class DBSCANGenerator:
         out = {}
         for f, frame in enumerate(frames):
             pts = np.asarray(frame["points"], np.float64)
-            mask, _ = self.ground(pts)
-            clusters = clustering(pts[mask], self.eps, self.min_samples)
+            non_ground = remove_ground_banded(pts, self.ground)
+            # DBSCAN core size fixed at 10 (outline_utils.py:532);
+            # cluster_min_points filters clusters afterwards
+            clusters = clustering(non_ground, self.eps, 10,
+                                  min_points=self.min_samples)
             boxes, names = [], []
             for c in clusters:
-                b = box_fit(c)
-                cls = get_box_cls(b, len(c))
+                fitted = fit_gated_box(c)  # reference box_fit gates (dbscan.py)
+                if fitted is None:
+                    continue
+                b, _ = fitted
                 boxes.append(b)
-                names.append(cls)
+                names.append(get_box_cls(b, len(c)))
             boxes = np.asarray(boxes, np.float32).reshape(-1, 7)
             names = np.asarray(names)
             keep = drop_cls(names)
@@ -76,26 +81,37 @@ class MFCFGenerator:
 
     def __init__(self, window: int = 5, ppscore_thresh: float = 0.7,
                  eps: float = 0.7, min_samples: int = 10, voxel: float = 0.1,
-                 tracker_kw: Optional[dict] = None, min_track_len: int = 2):
+                 tracker_kw: Optional[dict] = None, min_track_len: int = 2,
+                 interval: int = 1, min_points: Optional[int] = None,
+                 gate_kw: Optional[dict] = None):
         self.window = window
         self.ppscore_thresh = ppscore_thresh
         self.eps = eps
+        # DBSCAN core size (the reference fixes 10 regardless of config;
+        # outline_utils.py:532); cluster_min_points filters AFTER clustering
         self.min_samples = min_samples
+        self.min_points = min_samples if min_points is None else min_points
         self.voxel = voxel
         self.tracker_kw = tracker_kw or {}
         self.min_track_len = min_track_len
+        self.interval = interval
+        self.gate_kw = gate_kw or {}
         self.ground = GroundSegmenter()
+        # distance-banded min-height gating params (remove_ground_banded);
+        # defaults = OutlineFitter's (threaded from GeneratorConfig)
+        self.ground_kw = {}
 
     def _gather_points(self, frames, f):
         """Multi-frame concat registered into the CURRENT sensor frame: keep
         the PERSISTENT (PPScore > thresh) points of the window -- these
         densify static structure without smearing movers -- plus ALL raw
-        points of the current frame (mfcf.py:47-73)."""
-        lo = max(f - self.window, 0)
-        hi = min(f + self.window + 1, len(frames))
+        points of the current frame (mfcf.py:47-73; the reference window is
+        range(i - win, i + win, interval), EXCLUSIVE of i + win)."""
         inv_pose = np.linalg.inv(np.asarray(frames[f]["pose"], np.float64))
         chunks = []
-        for g in range(lo, hi):
+        for g in range(f - self.window, f + self.window, self.interval):
+            if g < 0 or g >= len(frames):
+                continue
             world = _world_points(frames[g])[:, :3]
             local = points_rigid_transform(world, inv_pose)
             pp = frames[g].get("ppscore")
@@ -110,11 +126,14 @@ class MFCFGenerator:
         for f in range(len(frames)):
             pts = self._gather_points(frames, f)
             pts = voxel_sampling(pts, self.voxel)
-            mask, _ = self.ground(pts)
-            clusters = clustering(pts[mask], self.eps, self.min_samples)
-            boxes = [box_fit_DGD(c) for c in clusters]
-            boxes = np.asarray(boxes, np.float32).reshape(-1, 7)
-            scores = np.asarray([min(len(c) / 100.0, 1.0) for c in clusters], np.float32)
+            non_ground = remove_ground_banded(pts, self.ground, **self.ground_kw)
+            clusters = clustering(non_ground, self.eps, self.min_samples,
+                                  min_points=self.min_points)
+            fits = [(box_fit_DGD(c, **self.gate_kw), c) for c in clusters]
+            fits = [(b, c) for b, c in fits if b is not None]
+            boxes = np.asarray([b for b, _ in fits], np.float32).reshape(-1, 7)
+            scores = np.asarray([min(len(c) / 100.0, 1.0) for _, c in fits],
+                                np.float32)
             frame_boxes.append(boxes)
             frame_scores.append(scores)
         smoother = TrackSmooth(self.tracker_kw, self.min_track_len)
@@ -150,11 +169,15 @@ class OYSTERGenerator:
         else:
             for f, frame in enumerate(frames):
                 pts = np.asarray(frame["points"], np.float64)
-                mask, _ = self.ground(pts)
-                clusters = clustering(pts[mask], self.eps, self.min_samples)
-                boxes = np.asarray([box_fit(c) for c in clusters], np.float32).reshape(-1, 7)
+                non_ground = remove_ground_banded(pts, self.ground)
+                clusters = clustering(non_ground, self.eps, 10,
+                                      min_points=self.min_samples)
+                fits = [(fit_gated_box(c), c) for c in clusters]
+                fits = [(b[0], c) for b, c in fits if b is not None]
+                boxes = np.asarray([b for b, _ in fits], np.float32).reshape(-1, 7)
                 frame_boxes.append(boxes.astype(np.float64))
-                frame_scores.append(np.asarray([min(len(c) / 100.0, 1.0) for c in clusters]))
+                frame_scores.append(np.asarray(
+                    [min(len(c) / 100.0, 1.0) for _, c in fits]))
         smoother = TrackSmooth(self.tracker_kw, self.min_track_len)
         smoother.tracking(frame_boxes, frame_scores, [fr["pose"] for fr in frames])
         # per-track size: mean of the closest-5%-to-sensor observations,

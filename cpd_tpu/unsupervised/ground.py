@@ -75,3 +75,34 @@ def remove_ground(points, ground_margin: float = 0.3, **kw):
     seg = GroundSegmenter(ground_margin=ground_margin, **kw)
     mask, _ = seg(points)
     return points[mask]
+
+
+def remove_ground_banded(points, segmenter=None, max_threshold: float = 1.0,
+                         min_threshold=(0.2, -0.5, -0.5),
+                         min_distance=(0.0, 20.0, 40.0, 100.0)):
+    """The reference's full remove_ground composition
+    (outline_utils.py:542-577): points at z >= ``max_threshold`` always
+    survive; the rest go through the line-fit segmenter; the union is then
+    gated per sensor-distance band -- band i keeps only z >
+    ``min_threshold[i]`` (bands: d < min_distance[1]; strictly-between
+    interior bands; d > min_distance[-2] for the last). Returns (M, 3) xyz
+    in band order, matching the reference's output layout."""
+    pts = np.asarray(points)
+    high = pts[pts[:, 2] >= max_threshold]
+    low = pts[pts[:, 2] < max_threshold]
+    segmenter = segmenter or GroundSegmenter()
+    mask, _ = segmenter(low)
+    ng = np.concatenate([high[:, :3], low[mask][:, :3]], 0)
+    d = np.linalg.norm(ng[:, :3], axis=1)
+    bands = []
+    n = len(min_threshold)
+    for i in range(n):
+        if i == 0:
+            m = d < min_distance[1]
+        elif i == n - 1:
+            m = d > min_distance[i]
+        else:
+            m = (d > min_distance[i]) & (d < min_distance[i + 1])
+        sel = ng[m]
+        bands.append(sel[sel[:, 2] > min_threshold[i]])
+    return np.concatenate(bands, 0)

@@ -71,16 +71,20 @@ def _dbscan_bfs(x, eps, min_samples):
 
 def clustering(points: np.ndarray, eps: float = 0.7, min_samples: int = 10,
                min_points: int = 10, max_height: float = 4.0) -> List[np.ndarray]:
-    """Cluster non-ground points into object candidates (OutlineFitter.clustering):
-    filters clusters by size and vertical extent; returns list of point arrays."""
+    """Cluster non-ground points into object candidates
+    (OutlineFitter.clustering, outline_utils.py:789): DBSCAN core size is
+    ``min_samples`` (the reference fixes it at 10 regardless of config);
+    clusters are kept when STRICTLY more than ``min_points``
+    (clutter_min_points) points AND the cluster's ABSOLUTE max z is below
+    ``max_height`` (discard_max_height gates z, not vertical extent)."""
     labels = dbscan_cluster(points, eps, min_samples)
     out = []
     for cid in range(labels.max() + 1 if len(labels) else 0):
         m = labels == cid
-        if m.sum() < min_points:
+        if m.sum() <= min_points:
             continue
         pts = points[m]
-        if pts[:, 2].max() - pts[:, 2].min() > max_height:
+        if pts[:, 2].max() >= max_height:
             continue
         out.append(pts)
     return out
@@ -116,7 +120,9 @@ def minimum_bounding_rectangle(xy: np.ndarray, criterion: str = "area"):
         proj = (xy - c) @ vt.T
         return c, (max(np.ptp(proj[:, 0]), 0.1), max(np.ptp(proj[:, 1]), 0.1)), yaw
 
-    edges = np.roll(hp, -1, axis=0) - hp
+    # consecutive hull edges only -- the reference's candidate-angle set
+    # EXCLUDES the closing edge (outline_utils.py:663,713 hull[1:]-hull[:-1])
+    edges = hp[1:] - hp[:-1]
     angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
     cands = []
     areas, dists = [], []
@@ -158,11 +164,58 @@ def minimum_bounding_rectangle(xy: np.ndarray, criterion: str = "area"):
 # ---------------------------------------------------------------------------
 
 def box_fit(cluster: np.ndarray, criterion: str = "distance") -> np.ndarray:
-    """Fit a 7-dof box to a cluster (OutlineFitter.box_fit)."""
-    center_xy, (l, w), yaw = minimum_bounding_rectangle(cluster[:, :2], criterion)
+    """Fit a 7-dof box to a cluster (OutlineFitter.get_obj, outline_utils.py:761).
+
+    The reference fits the rectangle on (y, x)-SWAPPED coordinates
+    (get_obj:763-766). The swap mirrors the convex hull, which REVERSES the
+    hull traversal order -- and since the candidate-angle set excludes the
+    closing edge, the mirrored hull excludes a DIFFERENT physical edge.
+    Replicating the swap keeps the candidate sets (and near-tie argmins of
+    the fit objective) bit-identical with the reference."""
+    center_sw, (l, w), yaw_sw = minimum_bounding_rectangle(
+        cluster[:, [1, 0]], criterion)
+    center_xy = (center_sw[1], center_sw[0])
+    yaw = np.pi / 2.0 - yaw_sw  # mirror across y=x maps angle t -> pi/2 - t
     zmin, zmax = cluster[:, 2].min(), cluster[:, 2].max()
     h = max(zmax - zmin, 0.1)
     return np.array([center_xy[0], center_xy[1], (zmin + zmax) / 2, l, w, h, yaw], np.float32)
+
+
+def fit_gated_box(cluster: np.ndarray, criterion: str = "distance",
+                  offset: float = 0.2,
+                  ground_adjust: Tuple[float, float] = (0.2, 20.0),
+                  min_box_volume: float = 0.1, min_box_height: float = 0.3,
+                  max_box_volume: float = 200.0, max_box_len: float = 10.0
+                  ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """The reference's per-cluster fit preamble, shared by box_fit and
+    box_fit_DGD (outline_utils.py:809-889): drop points within ``offset`` of
+    the cluster floor, fit, stretch the box back down by ``offset``; boxes
+    closer than ``ground_adjust[1]`` to the sensor get a further
+    ``ground_adjust[0]`` downward stretch (the near-field ground band that
+    remove_ground carved off); gate on volume / height / length; force
+    l >= w (yaw += pi/2). Returns None when the hull fails (the reference's
+    try/except skip) or a gate rejects the box."""
+    pts = cluster[cluster[:, 2] > cluster[:, 2].min() + offset]
+    if len(pts) < 3:
+        return None
+    try:
+        ConvexHull(pts[:, :2])
+    except Exception:
+        return None
+    box = np.asarray(box_fit(pts, criterion), np.float64)
+    box[2] -= offset / 2.0
+    box[5] += offset
+    if np.linalg.norm(box[0:3]) < ground_adjust[1]:
+        box[2] -= ground_adjust[0] / 2.0
+        box[5] += ground_adjust[0]
+    volume = box[3] * box[4] * box[5]
+    if not (min_box_volume < volume < max_box_volume
+            and box[5] > min_box_height and max(box[3], box[4]) < max_box_len):
+        return None
+    if box[3] < box[4]:  # force l >= w (outline_utils.py:875-879)
+        box[3], box[4] = box[4], box[3]
+        box[6] += np.pi / 2.0
+    return box, pts
 
 
 def density_guided_drift(box: np.ndarray, cluster: np.ndarray,
@@ -219,21 +272,56 @@ def corner_align(box: np.ndarray, new_l: float, new_w: float) -> np.ndarray:
     return box
 
 
+def _slice_extreme_mean(pts, axis: int, lo: float, delta: float, parts: int,
+                        other_axis: int, take_max: bool):
+    """Mean of each non-empty slice's extreme-other-axis point
+    (outline_utils.py:168-193 inner loops): slice ``axis`` into ``parts``
+    bins of width ``delta`` starting at ``lo`` (bin i = (lo+i*d, lo+(i+1)*d]),
+    pick the arg-max (or arg-min) point along ``other_axis`` per bin."""
+    picks = []
+    for i in range(parts):
+        m = (pts[:, axis] > lo + i * delta) & (pts[:, axis] <= lo + (i + 1) * delta)
+        sel = pts[m]
+        if len(sel):
+            j = np.argmax(sel[:, other_axis]) if take_max else np.argmin(sel[:, other_axis])
+            picks.append(sel[j])
+    if not picks:
+        return None
+    return np.mean(np.asarray(picks), 0)
+
+
 def correct_orientation(box: np.ndarray, cluster: np.ndarray) -> np.ndarray:
-    """Refine yaw by line-fitting the densest observed edge
-    (outline_utils.py:127 edge-regression)."""
-    box = box.copy()
+    """Refine yaw from the observed long edge (outline_utils.py:127, exact):
+    in the box's local frame, split the dominant-spread axis at its midpoint;
+    per half, slice into 7 bins and collect each bin's extreme point toward
+    the side most points sit on; the yaw correction is the arctan slope
+    between the two halves' mean extreme points."""
+    box = np.asarray(box, np.float64).copy()
     rel = cluster[:, :2] - box[:2]
     c, s = np.cos(box[6]), np.sin(box[6])
-    lx = rel[:, 0] * c + rel[:, 1] * s
-    ly = -rel[:, 0] * s + rel[:, 1] * c
-    # points near the long edges (|ly| ~ w/2)
-    edge = np.abs(np.abs(ly) - box[4] / 2) < 0.15
-    if edge.sum() >= 8 and np.ptp(lx[edge]) > 1.0:
-        a, b = np.polyfit(lx[edge], ly[edge], 1)
-        dyaw = np.arctan(a)
-        if abs(dyaw) < np.deg2rad(15):
-            box[6] += dyaw
+    pts = np.stack([rel[:, 0] * c + rel[:, 1] * s,
+                    -rel[:, 0] * s + rel[:, 1] * c], axis=1)
+    min_x, max_x = pts[:, 0].min(), pts[:, 0].max()
+    min_y, max_y = pts[:, 1].min(), pts[:, 1].max()
+    parts = 7
+    if ((max_x - min_x) / box[3]) * 2 > (max_y - min_y) / box[4]:
+        mid = (max_x - min_x) / 2.0 + min_x
+        top, bot = pts[pts[:, 0] > mid], pts[pts[:, 0] < mid]
+        delta = (max_x - mid) / parts
+        take_max = (pts[:, 1] > 0).sum() / len(pts) > 0.5
+        t = _slice_extreme_mean(top, 0, mid, delta, parts, 1, take_max)
+        b = _slice_extreme_mean(bot, 0, min_x, delta, parts, 1, take_max)
+        if t is not None and b is not None:
+            box[6] += np.arctan((t[1] - b[1]) / (t[0] - b[0]))
+    else:
+        mid = (max_y - min_y) / 2.0 + min_y
+        top, bot = pts[pts[:, 1] > mid], pts[pts[:, 1] < mid]
+        delta = (max_y - mid) / parts
+        take_max = (pts[:, 0] > 0).sum() / len(pts) > 0.5
+        t = _slice_extreme_mean(top, 1, mid, delta, parts, 0, take_max)
+        b = _slice_extreme_mean(bot, 1, min_y, delta, parts, 0, take_max)
+        if t is not None and b is not None:
+            box[6] += np.arctan((t[0] - b[0]) / (t[1] - b[1]))
     return box
 
 
@@ -270,13 +358,18 @@ def correct_heading(box: np.ndarray, cluster: np.ndarray, parts: int = 10) -> np
     return box
 
 
-def box_fit_DGD(cluster: np.ndarray) -> np.ndarray:
-    """MFCF's fit: min-rect (distance criterion) + density-guided drift +
-    orientation + heading correction (outline_utils.py:848)."""
-    box = box_fit(cluster, criterion="distance")
-    box = correct_orientation(box, cluster)
-    box = density_guided_drift(box, cluster)
-    box = correct_heading(box, cluster)
+def box_fit_DGD(cluster: np.ndarray, **gate_kw) -> Optional[np.ndarray]:
+    """MFCF's fit (outline_utils.py:848): gated min-rect (distance
+    criterion), then density-guided drift -> orientation -> heading
+    correction, each on the floor-filtered points (that exact order).
+    Returns None when the fit preamble rejects the cluster."""
+    fitted = fit_gated_box(cluster, criterion="distance", **gate_kw)
+    if fitted is None:
+        return None
+    box, pts = fitted
+    box = density_guided_drift(box, pts)
+    box = correct_orientation(box, pts)
+    box = correct_heading(box, pts)
     return box
 
 
@@ -347,23 +440,42 @@ def distance_score(box: np.ndarray, max_dist: float = 80.0) -> float:
     return 1.0 - min(d, max_dist) / max_dist
 
 
-def get_box_cls(box: np.ndarray, n_points: int = 100) -> str:
-    """Size-prior classification (outline_utils.py:891) into
-    Vehicle / Pedestrian / Cyclist / Dis_Small / Dis_Large."""
-    l, w, h = box[3], box[4], box[5]
-    if l > 9.0 or w > 3.2 or h > 3.6:
+# per-class (low, high] size bands -- the reference's shipped tables
+# (waymo_unsupervised_cproto.yaml GeneratorConfig.cls_L/W/H)
+CLS_L = {"Dis_Small": (0.0, 12.0), "Vehicle": (0.5, 8.0),
+         "Pedestrian": (0.2, 1.0), "Cyclist": (1.3, 2.5),
+         "Dis_Large": (0.0, 12.0)}
+CLS_W = {"Dis_Small": (0.0, 12.0), "Vehicle": (0.5, 3.0),
+         "Pedestrian": (0.2, 1.0), "Cyclist": (0.5, 1.0),
+         "Dis_Large": (0.0, 12.0)}
+CLS_H = {"Dis_Small": (0.0, 0.8), "Vehicle": (1.0, 3.0),
+         "Pedestrian": (0.8, 2.3), "Cyclist": (1.4, 2.0),
+         "Dis_Large": (3.0, 12.0)}
+
+
+def get_box_cls(box: np.ndarray, n_points: int = 100,
+                max_top_z: float = 3.0, max_width: float = 3.0,
+                max_len: float = 12.0) -> str:
+    """Size-band classification, the reference's exact tables and CHECK
+    ORDER (outline_utils.py:891-957 / :1066-1121): the top-z/width/length
+    Dis_Large gate first, then Dis_Small -> Pedestrian -> Cyclist -> Vehicle
+    -> Dis_Large bands ((low, high] on each of l/h/w), else Dis_Small.
+    ``n_points`` is accepted for caller compatibility and unused (the
+    reference classifies by size only)."""
+    l, w, h = float(box[3]), float(box[4]), float(box[5])
+    top_z = float(box[2]) + h / 2.0
+
+    def in_band(cls):
+        return (CLS_L[cls][0] < l <= CLS_L[cls][1]
+                and CLS_H[cls][0] < h <= CLS_H[cls][1]
+                and CLS_W[cls][0] < w <= CLS_W[cls][1])
+
+    if top_z > max_top_z or w > max_width or l > max_len:
         return "Dis_Large"
-    if l < 0.3 or h < 0.35 or l * w * h < 0.05:
-        return "Dis_Small"
-    if l > 2.7 and l <= 9.0 and w <= 3.2 and h <= 3.0 and l / max(w, 1e-3) > 1.2:
-        return "Vehicle"
-    if l <= 1.2 and w <= 1.2 and 1.2 <= h <= 2.2:
-        return "Pedestrian"
-    if l <= 2.7 and w <= 1.2 and 0.8 <= h <= 2.2 and l / max(w, 1e-3) > 1.3:
-        return "Cyclist"
-    if l <= 2.2 and w <= 2.2 and h <= 2.2:
-        return "Pedestrian" if l / max(w, 1e-3) < 1.3 and h >= 1.2 else "Dis_Small"
-    return "Vehicle" if l > 2.2 else "Dis_Small"
+    for cls in ("Dis_Small", "Pedestrian", "Cyclist", "Vehicle", "Dis_Large"):
+        if in_band(cls):
+            return cls
+    return "Dis_Small"
 
 
 def drop_cls(names: np.ndarray, keep=("Vehicle", "Pedestrian", "Cyclist")):

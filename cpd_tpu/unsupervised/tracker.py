@@ -76,7 +76,12 @@ class Trajectory:
 
     def update(self, frame: int, box, score: float):
         self.kf.update(np.asarray(box[:3], np.float64))
-        self.boxes[frame] = np.asarray(box, np.float64).copy()
+        stored = np.asarray(box, np.float64).copy()
+        # labels carry the KF POSTERIOR center, not the raw measurement
+        # (outline_utils.py:1057 emits ob.updated_state) -- for movers the
+        # posterior lags the measurement until the velocity state converges
+        stored[:3] = self.kf.x[:3]
+        self.boxes[frame] = stored
         self.scores[frame] = float(score)
         self.observed[frame] = True
         self.last_frame = frame
@@ -251,6 +256,13 @@ class TrackSmooth:
         inv = (np.linalg.inv(self.poses[frame])
                if frame < len(self.poses) and self.poses[frame] is not None else None)
         for tid, t in self.tracks.items():
+            # only frames inside the OBSERVED span are emitted: the reference
+            # fills updated_state solely for first<=f<=last gap frames
+            # (trajectory.py:446-448); head/tail KF predictions stay None and
+            # never become labels
+            obs = [f for f in t.boxes if t.observed.get(f, False)]
+            if not obs or not (min(obs) <= frame <= max(obs)):
+                continue
             if frame in t.boxes:
                 b = t.boxes[frame]
                 if inv is not None:

@@ -197,3 +197,160 @@ def test_density_guided_drift_matches(ref):
                                    rtol=1e-5, atol=1e-5)
         assert drifted[3] == pytest.approx(prior[0])
         assert drifted[4] == pytest.approx(prior[1])
+
+
+def _np_mat_patch(monkeypatch, outline_utils):
+    monkeypatch.setattr(np, "mat", np.asmatrix, raising=False)
+    monkeypatch.setattr(outline_utils.np, "mat", np.asmatrix, raising=False)
+
+
+def _our_corners(center, dims, yaw):
+    l, w = dims
+    local = np.array([[l, w], [l, -w], [-l, -w], [-l, w]]) / 2.0
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s], [s, c]])
+    return local @ rot.T + np.asarray(center)
+
+
+def _assert_corner_sets_close(got, want, atol=1e-6):
+    want = np.asarray(want)
+    got = np.asarray(got)
+    assert got.shape == want.shape
+    for wc in want:
+        d = np.linalg.norm(got - wc, axis=1).min()
+        assert d < atol, (wc, got)
+
+
+def test_minimum_bounding_rectangle_matches(ref):
+    """Both objectives of the min-rect fit (outline_utils.py:609 area,
+    :703 edge-distance) against the reference's own implementation: same
+    rectangle corners for L-shaped and random clusters."""
+    outline_utils, _ = ref
+    from cpd_tpu.unsupervised.outline import minimum_bounding_rectangle
+
+    fitter = outline_utils.OutlineFitter()
+    rng = np.random.default_rng(0)
+    for seed in range(8):
+        pts = _cluster(seed)[:, :2]
+        if seed >= 4:  # plus blob-shaped clusters
+            pts = rng.normal(0, 1.5, (60, 2)) * np.array([2.0, 0.7]) + rng.normal(0, 8, 2)
+        for crit, fn in (("area", fitter.minimum_bounding_rectangle),
+                         ("distance", fitter.minimum_bounding_rectangle_distance)):
+            corners, _, _ = fn(pts.copy())
+            center, dims, yaw = minimum_bounding_rectangle(pts, crit)
+            _assert_corner_sets_close(_our_corners(center, dims, yaw), corners,
+                                      atol=1e-5)
+
+
+def test_correct_orientation_matches(ref):
+    """Exact parity with outline_utils.py:127 (7-slice extreme-point slope)."""
+    outline_utils, _ = ref
+    from cpd_tpu.unsupervised.outline import box_fit, correct_orientation
+
+    for seed in range(8):
+        pts = _cluster(seed, yaw=0.3 + 0.1 * seed)
+        box = np.asarray(box_fit(pts), np.float64)
+        box[6] += 0.05  # perturb so the correction is non-trivial
+        want = outline_utils.correct_orientation(pts, box.copy())
+        got = correct_orientation(box.copy(), pts)
+        # the reference builds its local frame with a float32 matrix
+        # (outline_utils.py:137) -- tolerance is float32 noise, not semantics
+        assert abs(((got[6] - want[6]) + np.pi) % (2 * np.pi) - np.pi) < 1e-6, (
+            seed, got[6], want[6])
+        np.testing.assert_allclose(got[:6], np.asarray(want)[:6], atol=1e-6)
+
+
+def test_clustering_matches(ref):
+    """OutlineFitter.clustering (outline_utils.py:789): DBSCAN core size 10,
+    strictly-greater min-points filter, ABSOLUTE max-z gate."""
+    outline_utils, _ = ref
+    from cpd_tpu.unsupervised.outline import clustering
+
+    rng = np.random.default_rng(7)
+    pts = np.concatenate([
+        _cluster(0), _cluster(1, center=(-14.0, 6.0, 0.2), n=60),
+        _cluster(2, center=(4.0, -18.0, 5.0)),        # above max z -> dropped
+        rng.uniform(-30, 30, (80, 3)),                # sparse noise
+    ])
+    fitter = outline_utils.OutlineFitter(cluster_dis=0.7, cluster_min_points=40,
+                                         discard_max_height=4)
+    want, _ = fitter.clustering(pts)
+    got = clustering(pts, eps=0.7, min_samples=10, min_points=40, max_height=4.0)
+    assert len(got) == len(want), (len(got), len(want))
+    key = lambda c: tuple(np.round(np.asarray(c).mean(0), 6))
+    got_map = {key(c): np.asarray(c) for c in got}
+    for c in want:
+        k = key(c)
+        assert k in got_map, (k, sorted(got_map))
+        np.testing.assert_allclose(
+            np.sort(got_map[k], axis=0), np.sort(np.asarray(c), axis=0), atol=1e-9)
+
+
+def test_box_fit_dgd_matches(ref, monkeypatch):
+    """The full gated DGD fit chain (outline_utils.py:848 box_fit_DGD):
+    floor-offset filter, z/h stretches, near-ground stretch, volume/height/
+    length gates, then drift -> orientation -> heading, in that order."""
+    outline_utils, _ = ref
+    _np_mat_patch(monkeypatch, outline_utils)
+    from cpd_tpu.unsupervised.outline import box_fit_DGD
+
+    fitter = outline_utils.OutlineFitter(
+        sensor_height=0, ground_min_threshold=[0.2, -0.5, -0.5],
+        ground_min_distance=[0, 20, 40, 100], cluster_dis=0.5,
+        cluster_min_points=5, discard_max_height=4, min_box_volume=0.1,
+        min_box_height=0.3, max_box_volume=200, max_box_len=10)
+    n_checked = 0
+    for seed in range(8):
+        far = seed % 2 == 1
+        center = (35.0, 20.0, 0.4) if far else (12.0, 8.0, 0.4)
+        pts = _cluster(seed, center=center)
+        want = fitter.box_fit_DGD([pts])
+        got = box_fit_DGD(pts, ground_adjust=(0.2, 20.0), min_box_volume=0.1,
+                          min_box_height=0.3, max_box_volume=200.0,
+                          max_box_len=10.0)
+        if len(want) == 0:
+            assert got is None
+            continue
+        n_checked += 1
+        want = np.asarray(want)[0]
+        np.testing.assert_allclose(got[:3], want[:3], atol=1e-5)
+        np.testing.assert_allclose(np.sort(got[3:5]), np.sort(want[3:5]), atol=1e-5)
+        assert abs(got[5] - want[5]) < 1e-5
+        dy = ((got[6] - want[6]) + np.pi) % (2 * np.pi) - np.pi
+        assert abs(dy) < 1e-6, (seed, got[6], want[6])
+    assert n_checked >= 4
+
+
+def test_get_box_cls_matches(ref):
+    """Exact parity with OutlineFitter.get_box_cls (outline_utils.py:891):
+    same tables, same check order, same (low, high] band semantics."""
+    outline_utils, _ = ref
+    from cpd_tpu.config import ConfigDict
+    from cpd_tpu.unsupervised.outline import get_box_cls
+
+    cfg = ConfigDict({
+        "cls": {"Dis_Small": 0, "Vehicle": 1, "Pedestrian": 2, "Cyclist": 3,
+                "Dis_Large": 4},
+        "cls_L": {"Dis_Small": [0, 12], "Vehicle": [0.5, 8],
+                  "Pedestrian": [0.2, 1.0], "Cyclist": [1.3, 2.5],
+                  "Dis_Large": [0, 12]},
+        "cls_W": {"Dis_Small": [0, 12], "Vehicle": [0.5, 3],
+                  "Pedestrian": [0.2, 1.0], "Cyclist": [0.5, 1.0],
+                  "Dis_Large": [0, 12]},
+        "cls_H": {"Dis_Small": [0, 0.8], "Vehicle": [1.0, 3],
+                  "Pedestrian": [0.8, 2.3], "Cyclist": [1.4, 2.0],
+                  "Dis_Large": [3, 12]},
+        "max_top_z": 3, "max_width": 3, "max_len": 12,
+    })
+    fitter = outline_utils.OutlineFitter()
+    rng = np.random.default_rng(11)
+    boxes = np.zeros((300, 7))
+    boxes[:, 0:2] = rng.uniform(-30, 30, (300, 2))
+    boxes[:, 2] = rng.uniform(-0.5, 2.5, 300)
+    boxes[:, 3] = rng.uniform(0.1, 13, 300)
+    boxes[:, 4] = rng.uniform(0.1, 4, 300)
+    boxes[:, 5] = rng.uniform(0.1, 4, 300)
+    _, want, _ = fitter.get_box_cls(boxes, cfg)
+    got = np.asarray([get_box_cls(b) for b in boxes])
+    mism = np.where(got != want)[0]
+    assert len(mism) == 0, [(i, boxes[i, 2:6], got[i], want[i]) for i in mism[:5]]

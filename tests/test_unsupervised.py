@@ -37,18 +37,20 @@ def box_surface_points(box, n=300, rng=None):
 
 
 def make_scene(boxes, n_ground=3000, rng=None, span=40.0):
+    """Waymo-frame scene: ground at z ~ 0 (the reference's banded min-height
+    gating, ground_min_threshold[0]=0.2 inside 20 m, assumes this frame)."""
     rng = rng or np.random.default_rng(0)
     gx = rng.uniform(-span, span, n_ground)
     gy = rng.uniform(-span, span, n_ground)
-    gz = rng.normal(-1.8, 0.03, n_ground)
+    gz = rng.normal(0.0, 0.03, n_ground)
     pts = [np.stack([gx, gy, gz], 1)]
     for b in boxes:
         pts.append(box_surface_points(b, rng=rng))
     return np.concatenate(pts).astype(np.float64)
 
 
-VEH = np.array([10.0, 5.0, -0.95, 4.6, 2.0, 1.7, 0.5])
-PED = np.array([-8.0, -6.0, -0.95, 0.8, 0.8, 1.7, 0.0])
+VEH = np.array([10.0, 5.0, 0.85, 4.6, 2.0, 1.7, 0.5])
+PED = np.array([-8.0, -6.0, 0.85, 0.8, 0.8, 1.7, 0.0])
 
 
 def test_ground_removal():
@@ -96,11 +98,14 @@ def test_minimum_bounding_rectangle_exact():
 
 
 def test_get_box_cls():
-    assert get_box_cls(np.array([0, 0, 0, 4.6, 2.0, 1.6, 0])) == "Vehicle"
-    assert get_box_cls(np.array([0, 0, 0, 0.8, 0.7, 1.7, 0])) == "Pedestrian"
-    assert get_box_cls(np.array([0, 0, 0, 1.8, 0.7, 1.6, 0])) == "Cyclist"
-    assert get_box_cls(np.array([0, 0, 0, 12.0, 3.0, 3.0, 0])) == "Dis_Large"
-    assert get_box_cls(np.array([0, 0, 0, 0.2, 0.2, 0.2, 0])) == "Dis_Small"
+    # reference size-band tables + check order (outline_utils.py:891)
+    assert get_box_cls(np.array([0, 0, 0.8, 4.6, 2.0, 1.6, 0])) == "Vehicle"
+    assert get_box_cls(np.array([0, 0, 0.85, 0.8, 0.7, 1.7, 0])) == "Pedestrian"
+    assert get_box_cls(np.array([0, 0, 0.8, 1.8, 0.7, 1.6, 0])) == "Cyclist"
+    assert get_box_cls(np.array([0, 0, 1.5, 13.0, 3.5, 3.0, 0])) == "Dis_Large"
+    assert get_box_cls(np.array([0, 0, 0.1, 0.5, 0.5, 0.2, 0])) == "Dis_Small"
+    # the top-z gate fires before any size band (reference order)
+    assert get_box_cls(np.array([0, 0, 3.0, 4.6, 2.0, 1.6, 0])) == "Dis_Large"
 
 
 def test_corner_align_keeps_nearest_corner():
