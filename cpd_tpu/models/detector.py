@@ -136,6 +136,12 @@ class VoxelRCNN(nn.Module):
     pfe_name: Any = None            # VoxelSetAbstraction
     pfe_cfg: Any = None             # extra kwargs (num_keypoints, nsample, ...)
     wrap_head_name: Any = None      # PartWraper
+    # BACKBONE_2D schema (base_bev_backbone.py:6-150); defaults = CPD yamls
+    bev_layer_nums: Tuple[int, ...] = (5, 5)
+    bev_layer_strides: Tuple[int, ...] = (1, 2)
+    bev_num_filters: Tuple[int, ...] = (128, 256)
+    bev_upsample_strides: Tuple[int, ...] = (1, 2)
+    bev_num_upsample_filters: Tuple[int, ...] = (256, 256)
 
     def setup(self):
         self.vox_spec = VoxelizerSpec.create(
@@ -194,7 +200,13 @@ class VoxelRCNN(nn.Module):
                 point_cloud_range=self.point_cloud_range,
                 voxel_size=self.voxel_size,
             )
-        self.bev_backbone = BaseBEVBackbone(bn_axis_name=self.bn_axis_name)
+        self.bev_backbone = BaseBEVBackbone(
+            layer_nums=tuple(self.bev_layer_nums),
+            layer_strides=tuple(self.bev_layer_strides),
+            num_filters=tuple(self.bev_num_filters),
+            upsample_strides=tuple(self.bev_upsample_strides),
+            num_upsample_filters=tuple(self.bev_num_upsample_filters),
+            bn_axis_name=self.bn_axis_name)
         head_cls = _DENSE_HEADS[self.dense_head_name]
         if head_cls is CenterHead:
             self.dense_head = CenterHead(
@@ -331,12 +343,17 @@ class VoxelRCNN(nn.Module):
         })
         rpn_nms["NMS_POST_MAXSIZE"] = n_rois
         if self._anchor_head:
-            h, w = st_features_2d.shape[1:3]
-            amask = point_density_anchor_mask(
-                batch["points"], batch.get("points_valid"), (h, w),
-                self.point_cloud_range, self.grid.nx,
-            )
-            head_preds = self.dense_head(st_features_2d, train, amask)
+            if self.dense_head_name == "AnchorHeadSingleV2":
+                # only V2 consumes the point-density anchor mask
+                # (anchor_head_single.py:31-194)
+                h, w = st_features_2d.shape[1:3]
+                amask = point_density_anchor_mask(
+                    batch["points"], batch.get("points_valid"), (h, w),
+                    self.point_cloud_range, self.grid.nx,
+                )
+                head_preds = self.dense_head(st_features_2d, train, amask)
+            else:
+                head_preds = self.dense_head(st_features_2d, train)
             proposals = self._anchor_proposals(head_preds, n_rois, rpn_nms)
         else:
             head_preds = self.dense_head(st_features_2d, train)
@@ -668,6 +685,16 @@ def build_network(model_cfg, num_class: int, data_cfg) -> nn.Module:
             pfe_kwargs["num_keypoints"] = int(pfe_c["NUM_KEYPOINTS"])
         if "NSAMPLE" in pfe_c:
             pfe_kwargs["nsample"] = int(pfe_c["NSAMPLE"])
+    b2d = model_cfg.get("BACKBONE_2D", {}) or {}
+    if "LAYER_NUMS" in b2d:
+        kwargs.update(
+            bev_layer_nums=tuple(b2d["LAYER_NUMS"]),
+            bev_layer_strides=tuple(b2d.get("LAYER_STRIDES", (1, 2))),
+            bev_num_filters=tuple(b2d.get("NUM_FILTERS", (128, 256))),
+            bev_upsample_strides=tuple(b2d.get("UPSAMPLE_STRIDES", (1, 2))),
+            bev_num_upsample_filters=tuple(
+                b2d.get("NUM_UPSAMPLE_FILTERS", (256, 256))),
+        )
     kwargs.update(
         vfe_name=vfe.get("NAME", "MeanVFE"),
         vfe_filters=tuple(vfe.get("NUM_FILTERS", (64,))),

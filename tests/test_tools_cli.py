@@ -67,6 +67,9 @@ SHIPPED_CONFIGS = [
     "tools/cfgs/models/voxel_rcnn_dbscan_single_train.yaml",
     "tools/cfgs/models/voxel_rcnn_oyster_single_train.yaml",
     "tools/cfgs/models/voxel_rcnn_cproto_center_kitti.yaml",
+    # PillarVFE + PointPillarScatter topology (no 3D backbone): exercises
+    # the VFE/MAP_TO_BEV NAME slots end to end
+    "tools/cfgs/models/pointpillar_dbscan_single_train.yaml",
 ]
 
 
@@ -78,12 +81,15 @@ def _shrink_cfg(cfg):
     d["POINT_CAP"] = 2048
     d["GT_CAP"] = 16
     d["STAGES"] = 2
+    m = cfg["MODEL"]
+    is_pillars = m.get("VFE", {}).get("NAME") == "PillarVFE"
     for proc in d["DATA_PROCESSOR"]:
         if proc["NAME"] == "transform_points_to_voxels":
-            proc["VOXEL_SIZE"] = [0.25, 0.25, 0.15]
+            # pillar grids keep a single full-height z cell
+            proc["VOXEL_SIZE"] = [0.5, 0.5, 6.0] if is_pillars else [0.25, 0.25, 0.15]
             proc["MAX_NUMBER_OF_VOXELS"] = {"train": 2048, "test": 2048}
-    m = cfg["MODEL"]
-    m["BACKBONE_3D"]["VOXEL_CAPS"] = [1024, 512, 256, 256]
+    if "BACKBONE_3D" in m:
+        m["BACKBONE_3D"]["VOXEL_CAPS"] = [1024, 512, 256, 256]
     dense_post = m["DENSE_HEAD"].setdefault("POST_PROCESSING", {})
     dense_post["NMS_CONFIG"] = {"NMS_THRESH": 0.8, "NMS_PRE_MAXSIZE": 512,
                                 "NMS_POST_MAXSIZE": 64}
