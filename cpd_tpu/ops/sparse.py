@@ -538,7 +538,9 @@ def _build_conv_rulebook_jit(
                 key = (oz * out_grid.ny + oy) * out_grid.nx + ox
                 cand_keys.append(jnp.where(ok, key, INVALID_KEY).astype(jnp.int32))
     cand = jnp.concatenate(cand_keys)  # (V * n_cand^3,)
-    cand = jnp.sort(cand)
+    # lax.sort (unstable) over jnp.sort: the stable variant is ~2.5x slower
+    # on TPU (scripts/exp_r3_vox.py) and stability is meaningless for values
+    cand = jax.lax.sort(cand)
     first = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
     first = first & (cand != INVALID_KEY)
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1

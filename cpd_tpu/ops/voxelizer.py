@@ -103,8 +103,16 @@ def voxelize(points, spec: VoxelizerSpec, valid=None,
     key = compute_voxel_keys(points, spec, valid)  # (P,)
     big = jnp.iinfo(jnp.int32).max
     sort_key = jnp.where(key >= 0, key, big)
-    order = jnp.argsort(sort_key)
-    skey = sort_key[order]
+    # ONE multi-operand lax.sort carries the point channels through the sort
+    # instead of argsort + row gather (measured 3.2 vs 9.2 ms at 200k points,
+    # scripts/exp_r3_vox.py: jnp.argsort lowers to the ~2.5x slower STABLE
+    # sort). The iota second key makes the order total -> deterministic and
+    # stable-equivalent (max_points_per_voxel truncation parity).
+    iota = jnp.arange(p_cap, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (sort_key, iota) + tuple(points[:, i] for i in range(c)), num_keys=2)
+    skey = sorted_ops[0]
+    order = sorted_ops[1]
     # unique flags over the sorted keys
     first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
     first = first & (skey < big)
@@ -122,7 +130,7 @@ def voxelize(points, spec: VoxelizerSpec, valid=None,
     slot_clipped = jnp.where(point_ok & (slot < v_cap), slot, v_cap)  # overflow bucket
     # segment-mean features; the count rides as an extra ones-column so the
     # sums and counts cost ONE (P,)-row scatter-add instead of two
-    sorted_pts = points[order]
+    sorted_pts = jnp.stack(sorted_ops[2:], axis=-1)
     aug = jnp.concatenate([sorted_pts, jnp.ones((p_cap, 1), points.dtype)], axis=1)
     sums = jax.ops.segment_sum(
         jnp.where(point_ok[:, None], aug, 0.0), slot_clipped, num_segments=v_cap + 1
