@@ -251,11 +251,19 @@ class WaymoUnsupervisedDataset(DatasetTemplate):
         return out
 
     def evaluation(self, det_annos, class_names, eval_metric="waymo", **kwargs):
-        from ..evaluation import waymo_style_eval
+        from ..evaluation import (official_available, waymo_official_eval,
+                                  waymo_style_eval)
 
         gt_annos = kwargs.get("gt_annos")
         if gt_annos is None:
             gt_annos = self.collect_gt_annos()
+        # real deployments with waymo_open_dataset installed get the OFFICIAL
+        # TF estimator (waymo_eval.py:178 protocol); this image lacks the
+        # package, so the NumPy TYPE_HUNGARIAN implementation stands in
+        if official_available():  # pragma: no cover - package absent here
+            res = waymo_official_eval(det_annos, gt_annos, class_names)
+            lines = [f"{k}: {v:.4f}" for k, v in sorted(res.items())]
+            return "\n".join(lines), res
         return waymo_style_eval(det_annos, gt_annos, class_names)
 
     def collect_gt_annos(self):

@@ -395,3 +395,71 @@ def test_kitti_eval_camera_frame_iou_auto_path():
     # explicit opt-out falls back to the (garbage) lidar boxes
     _, r2 = kitti_style_eval(dets, gts, ["Vehicle"], camera_frame_iou=False)
     assert r2["Vehicle_3d/moderate_R40"] == 0.0
+
+
+def test_waymo_official_adapter_protocol():
+    """The official-estimator adapter's NumPy protocol stages (waymo_eval.py
+    :26-87, :169-176): difficulty backfill from num_points_in_gt, zero-point
+    gt drop, 100 m (+0.5) range gate, heading wrap to (-pi, pi]."""
+    from cpd_tpu.evaluation.waymo_official import (distance_mask,
+                                                   flatten_annos,
+                                                   official_available)
+
+    assert official_available() is False  # package absent in this image
+    gts = [{
+        "name": np.asarray(["Vehicle", "Vehicle", "Pedestrian", "Sign"]),
+        "gt_boxes_lidar": np.asarray([
+            [5.0, 0, 0, 4, 2, 1.5, 3 * np.pi],      # heading wraps to pi
+            [120.0, 0, 0, 4, 2, 1.5, 0.0],          # out of 100 m range
+            [8.0, 0, 0, 1, 1, 1.7, 0.0],
+            [9.0, 0, 0, 1, 1, 2.0, 0.0],            # class not evaluated
+        ]),
+        "num_points_in_gt": np.asarray([50, 50, 3, 50]),
+        "difficulty": np.asarray([0, 0, 0, 0]),
+    }]
+    fid, box, typ, _, dif = flatten_annos(gts, ["Vehicle", "Pedestrian"], is_gt=True)
+    assert len(box) == 3  # Sign dropped
+    assert dif.tolist() == [1, 1, 2]  # backfill: >5 pts -> L1, <=5 -> L2
+    assert abs(abs(box[0, 6]) - np.pi) < 1e-9
+    box, fid, typ, dif = distance_mask(box, fid, typ, dif)
+    assert len(box) == 2  # 120 m gt dropped
+    # zero-point gts are dropped entirely
+    gts[0]["num_points_in_gt"] = np.asarray([0, 50, 3, 50])
+    _, box2, _, _, _ = flatten_annos(gts, ["Vehicle", "Pedestrian"], is_gt=True)
+    assert len(box2) == 2
+
+
+def test_waymo_hand_computed_l1_l2_ap():
+    """Hand-computed 3-box scene (weak #7): 2 L1 vehicles + 1 L2 (4 points),
+    detections hit the two L1 boxes and miss the L2 one with a spurious det.
+
+    L1 protocol: the L2-only gt is IGNORE -> dets: TP, TP, FP, num_gt=2.
+    recall hits 1.0 at the 2nd det, precision there 1.0; the FP is ranked
+    last (score 0.3) so every recall position sees precision 1.0 -> AP_L1 =
+    100. L2: all 3 gts count, recall caps at 2/3 with precisions 1.0 ->
+    AP_L2 = sum_{r<=2/3} 1.0 / 40 = 26/40 within the matched band."""
+    gt = {
+        "frame_id": 0,
+        "gt_boxes_lidar": np.asarray([
+            [0.0, 0, 0, 4, 2, 1.5, 0.0],
+            [10.0, 0, 0, 4, 2, 1.5, 0.0],
+            [20.0, 0, 0, 4, 2, 1.5, 0.0],
+        ]),
+        "name": np.asarray(["Vehicle"] * 3),
+        "num_points_in_gt": np.asarray([50, 50, 4]),
+        "difficulty": np.zeros(3),
+    }
+    det = {
+        "frame_id": 0,
+        "boxes_lidar": np.asarray([
+            [0.0, 0, 0, 4, 2, 1.5, 0.0],
+            [10.0, 0, 0, 4, 2, 1.5, 0.0],
+            [40.0, 0, 0, 4, 2, 1.5, 0.0],  # matches nothing
+        ]),
+        "score": np.asarray([0.9, 0.8, 0.3]),
+        "name": np.asarray(["Vehicle"] * 3),
+    }
+    _, r = waymo_style_eval([det], [gt], ["Vehicle"])
+    assert abs(r["Vehicle_L1/AP"] - 100.0) < 1e-6, r
+    want_l2 = sum(1.0 for k in range(1, 41) if k / 40 <= 2 / 3) / 40 * 100
+    assert abs(r["Vehicle_L2/AP"] - want_l2) < 1e-6, (r["Vehicle_L2/AP"], want_l2)
