@@ -184,3 +184,28 @@ def test_train_ckpt_resume_eval(tmp_path):
     assert isinstance(result, dict)
     # synthetic random model: APs exist (values near 0)
     assert any("Vehicle" in k for k in result)
+
+
+def test_strip_checkpoint_roundtrip(tmp_path):
+    """tools/strip_checkpoint.py keeps params+batch_stats, drops opt_state
+    (save_model_paras.py parity: the deploy artifact carries weights only)."""
+    import numpy as np
+    from types import SimpleNamespace
+    from cpd_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+    from tools.strip_checkpoint import strip_checkpoint
+
+    state = SimpleNamespace(
+        params={"dense": {"kernel": np.ones((4, 4), np.float32)}},
+        batch_stats={"bn": {"mean": np.zeros(4, np.float32)}},
+        opt_state={"mu": {"dense": {"kernel": np.full((4, 4), 0.5, np.float32)}}},
+        step=7,
+    )
+    path = save_checkpoint(tmp_path / "ckpt", state, epoch=3)
+    out = strip_checkpoint(path)
+    restored = load_checkpoint(out)
+    assert "opt_state" not in restored
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["dense"]["kernel"]), state.params["dense"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(restored["batch_stats"]["bn"]["mean"]), state.batch_stats["bn"]["mean"])
+    assert int(restored["epoch"]) == 3
