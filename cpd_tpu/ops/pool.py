@@ -21,7 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .sparse import (DENSE_LUT_MAX_CELLS, GridSpec, INVALID_KEY, SENTINEL,
+from .sparse import (GridSpec, INVALID_KEY, SENTINEL,
                      build_bitmap_lut, build_dense_lut, lookup, lookup_dense, lookup_dense_rows,
                      lookup_packed_taps as sparse_lookup_packed_taps,
                      lookup_sorted_rows)

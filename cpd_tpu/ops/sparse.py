@@ -140,6 +140,8 @@ def lookup_sorted_rows(sorted_keys, queries):
 # = 371MB int32 per sample -- measured faster than the join even so; lower
 # this if batch-4 training at full caps pressures HBM). The SIGABRT
 # previously blamed on LUT size was the voxel_query LUT variant (disabled).
+# IMMUTABLE default of the ``lut_max_cells`` parameters (config key
+# BACKBONE_3D.LUT_MAX_CELLS) -- never assign to it; pass the parameter.
 DENSE_LUT_MAX_CELLS = 100_000_000
 
 

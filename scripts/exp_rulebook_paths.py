@@ -29,10 +29,9 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
     for thresh in (100_000_000, 50_000_000, 0):
-        sparse.DENSE_LUT_MAX_CELLS = thresh
-
         def fn(kk, _t=thresh):  # distinct function identity per threshold
-            return backbone3d.build_branch_rulebooks(kk, grid, caps)
+            return backbone3d.build_branch_rulebooks(kk, grid, caps,
+                                                     lut_max_cells=_t)
 
         fj = jax.jit(fn)
         t0 = time.perf_counter()
