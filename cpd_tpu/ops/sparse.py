@@ -275,6 +275,44 @@ def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query
     return jnp.where(found, jnp.stack(rows), 0).astype(jnp.int32), found
 
 
+def lookup_bitmap_runs_dynamic(bm, cells, ok, run: int = 3):
+    """Run-packed bitmap lookups for DYNAMIC per-row cell groups.
+
+    cells (P, V) int32 grouped as ``run`` consecutive taps whose valid cells
+    per row span at most ONE cell step (so the group's word index spans at
+    most 2 adjacent words -- e.g. the dx-triples of a stride-2 transpose
+    rulebook, where o_x = (x + p - dx)/2 takes <= 2 consecutive values).
+    Unlike :func:`lookup_bitmap_packed_taps` the group's base cell is not a
+    static delta off a shared base, so it is derived per row as the masked
+    min. ONE (word, prefix, next-word) row fetch serves the whole group:
+    P/run latency-bound fetches instead of P.
+
+    Returns (idx (P, V) int32 clamped >= 0, found (P, V) bool)."""
+    p, v = cells.shape
+    assert p % run == 0
+    n_words = bm.shape[0]
+    big = jnp.int32(1 << 30)
+    rows, hits = [None] * p, [None] * p
+    for g0 in range(0, p, run):
+        cg = cells[g0:g0 + run]
+        okg = ok[g0:g0 + run]
+        cmin = jnp.min(jnp.where(okg, cg, big), axis=0)
+        cmin = jnp.where(cmin == big, 0, cmin)
+        w0 = jnp.clip(cmin >> 5, 0, n_words - 1)
+        row0 = bm[w0]  # (V, 3): word, prefix, next word
+        pref1 = row0[:, 1] + jax.lax.population_count(row0[:, 0])
+        for t in range(g0, g0 + run):
+            cell = jnp.where(ok[t], cells[t], cmin)
+            in_next = (cell >> 5) > w0
+            word = jnp.where(in_next, row0[:, 2], row0[:, 0])
+            pref = jnp.where(in_next, pref1, row0[:, 1])
+            r, h = _bitmap_rank(word, pref, cell & 31)
+            rows[t] = r
+            hits[t] = h
+    found = ok & jnp.stack(hits)
+    return jnp.where(found, jnp.stack(rows), 0).astype(jnp.int32), found
+
+
 def lookup_dense(lut, queries, query_ok):
     """LUT path: queries (V,) int32 cell keys into the 2-D packed LUT
     (last dim 4) or bitmap-rank table (last dim 3); query_ok masks in-bounds
@@ -357,6 +395,174 @@ def lookup_packed_taps(lut, base_cells, offsets_zyx, grid: GridSpec, query_ok):
     rows = jnp.stack(vals)
     found = query_ok & (rows >= 0)
     return jnp.where(found, rows, 0).astype(jnp.int32), found
+
+
+def build_padded_bitmap(keys, grid: GridSpec):
+    """(V,) sorted keys -> (nz, ny, wr) uint32 occupancy words on a row-
+    PADDED layout (wr = ceil(nx/32) words per x-row, rows word-aligned).
+
+    Unlike :func:`build_bitmap_lut` (whose words straddle y/z rows because
+    they pack the raw linearized key), every (z, y) row here starts on a word
+    boundary, so y/z shifts of the occupancy field are plain array slices and
+    x shifts are word-level bit shifts with a single intra-row carry. This is
+    the substrate for the sort-free strided-conv active-set derivation
+    (:func:`_bitmap_downsample`). Padding bits (x >= nx) are never set."""
+    wr = -(-grid.nx // 32)
+    n_words = grid.nz * grid.ny * wr + 1  # +1 drop slot
+    valid = keys != INVALID_KEY
+    x = keys % grid.nx
+    zy = keys // grid.nx  # z * ny + y
+    w = jnp.where(valid, zy * wr + (x >> 5), n_words - 1)
+    bit = jnp.where(valid, x & 31, 0).astype(jnp.uint32)
+    words = jnp.zeros((n_words,), jnp.uint32).at[w].add(
+        jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0)), mode="drop")
+    return words[:-1].reshape(grid.nz, grid.ny, wr)
+
+
+def _shift_bits_x(bm, d: int):
+    """Occupancy shifted by ``d`` cells along x: out[x] = in[x + d].
+    bm: (..., wr) uint32; carries ride within the row (rows are word-aligned),
+    cells shifted past either row end vanish."""
+    if d == 0:
+        return bm
+    if d > 0:  # in[x + d]: bits move DOWN by d
+        nxt = jnp.concatenate([bm[..., 1:], jnp.zeros_like(bm[..., :1])], axis=-1)
+        return (bm >> d) | (nxt << (32 - d))
+    d = -d  # in[x - d]: bits move UP by d
+    prv = jnp.concatenate([jnp.zeros_like(bm[..., :1]), bm[..., :-1]], axis=-1)
+    return (bm << d) | (prv >> (32 - d))
+
+
+def _shift_rows(bm, axis: int, d: int):
+    """Occupancy shifted by ``d`` rows along y (axis=1) or z (axis=0):
+    out[i] = in[i + d], zeros shifted in at the boundary."""
+    if d == 0:
+        return bm
+    n = bm.shape[axis]
+    pad = [(0, 0)] * bm.ndim
+    if d > 0:
+        sl = [slice(None)] * bm.ndim
+        sl[axis] = slice(d, n)
+        pad[axis] = (0, d)
+    else:
+        sl = [slice(None)] * bm.ndim
+        sl[axis] = slice(0, n + d)
+        pad[axis] = (-d, 0)
+    return jnp.pad(bm[tuple(sl)], pad)
+
+
+_EVEN_MASKS = ((0x33333333, 2), (0x0F0F0F0F, 4), (0x00FF00FF, 8), (0x0000FFFF, 16))
+
+
+def _extract_even_bits(w):
+    """uint32 word -> its 16 even-position bits packed into the low half."""
+    x = w & jnp.uint32(0x55555555)
+    for m, s in _EVEN_MASKS:
+        x = (x | (x >> (s // 2))) & jnp.uint32(m)
+    return x
+
+
+def _bitmap_downsample(bm, in_grid: GridSpec, out_grid: GridSpec,
+                       kernel, stride, padding):
+    """Strided-conv output active set as a padded bitmap, via pure bit ops.
+
+    out[o] is occupied iff any input cell in its receptive field
+    [o*s - p, o*s - p + k - 1] (per dim) is occupied -- SparseConv3d's
+    active-set rule -- computed as a shift-OR dilation followed by a
+    stride subsample. No candidate enumeration, no sort: the TPU cost is a
+    handful of elementwise passes over the ~MB-scale word array (the sort
+    path's V*ceil(k/s)^3 candidate build + lax.sort dominated the strided
+    rulebook build time).
+
+    Supports stride 1 or 2 per dim (the whole CPD ladder). Returns the
+    (nz_out, ny_out, wr_out) uint32 bitmap with padding bits cleared."""
+    kx, ky, kz = kernel
+    sx, sy, sz = stride
+    px, py, pz = padding
+    # dilate: t[i] = OR_j in[i + j - p], then out[o] = t[o*s]
+    t = None
+    for j in range(kz):
+        s = _shift_rows(bm, 0, j - pz)
+        t = s if t is None else t | s
+    bm = t
+    t = None
+    for j in range(ky):
+        s = _shift_rows(bm, 1, j - py)
+        t = s if t is None else t | s
+    bm = t
+    t = None
+    for j in range(kx):
+        s = _shift_bits_x(bm, j - px)
+        t = s if t is None else t | s
+    bm = t
+    # subsample
+    if sz == 2:
+        bm = bm[::2]
+    if sy == 2:
+        bm = bm[:, ::2]
+    bm = bm[: out_grid.nz, : out_grid.ny]
+    if sx == 2:
+        # out bit o <- bit 2o: even-bit-extract, then fuse word pairs
+        wr = bm.shape[-1]
+        if wr % 2:
+            bm = jnp.pad(bm, ((0, 0), (0, 0), (0, 1)))
+            wr += 1
+        ev = _extract_even_bits(bm)
+        bm = ev[..., 0::2] | (ev[..., 1::2] << 16)
+    wr_out = -(-out_grid.nx // 32)
+    bm = bm[..., :wr_out]
+    if bm.shape[-1] < wr_out:  # can't happen for s in (1,2), keep static-safe
+        bm = jnp.pad(bm, ((0, 0), (0, 0), (0, wr_out - bm.shape[-1])))
+    # clear padding bits (x >= nx_out): receptive fields of nonexistent
+    # output columns may have been set by the dilation
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wr_out, 32), 0) * 32 \
+        + jax.lax.broadcasted_iota(jnp.int32, (wr_out, 32), 1)
+    colmask = jnp.sum(
+        jnp.where(cols < out_grid.nx,
+                  jnp.uint32(1) << (cols & 31).astype(jnp.uint32), jnp.uint32(0)),
+        axis=1, dtype=jnp.uint32)
+    return bm & colmask
+
+
+def _keys_from_padded_bitmap(bm, grid: GridSpec, cap: int):
+    """(nz, ny, wr) uint32 occupancy -> ((cap,) sorted int32 true-grid keys
+    with INVALID_KEY padding, (cap,) bool valid). Two-phase rank compaction
+    (word-level compact, then per-bit expansion of <= cap occupied words)
+    keeps every scatter under the TPU gather/scatter fast-path cap. Overflow
+    beyond ``cap`` drops the HIGHEST keys (the sort path's semantics)."""
+    nz, ny, wr = bm.shape
+    flat = bm.reshape(-1)
+    n_words = flat.shape[0]
+    counts = jax.lax.population_count(flat).astype(jnp.int32)
+    prefix = jnp.cumsum(counts) - counts  # exclusive rank base per word
+    total = prefix[-1] + counts[-1]
+    # phase A: each occupied word owns the rank interval
+    # [prefix, prefix + count); scatter its id at the interval START (unique:
+    # prefix strictly increases across occupied words) and forward-fill, so
+    # every output SLOT knows its source word. This is one n_words scatter +
+    # a cap-length cummax -- NOT a per-bit scatter: a cap*32-index scatter
+    # falls off the TPU fast path above ~2M indices (measured 12x cliff).
+    keep = (counts > 0) & (prefix < cap)
+    target = jnp.where(keep, prefix, cap)
+    widx = jnp.arange(n_words, dtype=jnp.int32)
+    starts = jnp.zeros((cap + 1,), jnp.int32).at[target].max(
+        widx, mode="drop")[:cap]
+    wsel = jax.lax.associative_scan(jnp.maximum, starts)  # word id per slot
+    word = flat[wsel]
+    pref = prefix[wsel]
+    base_true = (wsel // wr) * grid.nx + (wsel % wr) * 32
+    # phase B: slot r holds the (r - prefix)-th set bit of its word; find its
+    # lane with a 32-lane one-hot select (pure VPU work, no scatter)
+    j = jnp.arange(cap, dtype=jnp.int32) - pref  # rank within word
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    below = (jnp.uint32(1) << lanes) - jnp.uint32(1)
+    cum = jax.lax.population_count(word[:, None] & below).astype(jnp.int32)
+    bit_set = (word[:, None] >> lanes) & 1
+    hit = (cum == j[:, None]) & (bit_set > 0)
+    pos = jnp.sum(jnp.where(hit, lanes.astype(jnp.int32), 0), axis=1)
+    ok = (jnp.arange(cap) < jnp.minimum(total, cap)) & jnp.any(hit, axis=1)
+    out = jnp.where(ok, base_true + pos, INVALID_KEY).astype(jnp.int32)
+    return out, ok
 
 
 def _kernel_offsets(kernel: Tuple[int, int, int]):
@@ -475,6 +681,68 @@ def build_subm_rulebook(keys, grid: GridSpec, kernel: Tuple[int, int, int] = (3,
     )
 
 
+def _strided_out_keys_bitmap(keys, grid: GridSpec, out_grid: GridSpec,
+                             kernel, stride, padding, out_cap: int):
+    """Strided-conv output active set via the padded occupancy bitmap: a
+    shift-OR dilation + stride subsample + rank compaction -- pure
+    elementwise bit ops over ~MB-scale word arrays instead of the
+    V * ceil(k/s)^3 candidate enumeration + lax.sort (which was measured as
+    the dominant cost of the strided rulebook builds, STATUS.md round-3
+    breakdown). Strides must be 1 or 2 per dim (the whole CPD ladder)."""
+    bm = build_padded_bitmap(keys, grid)
+    bm_out = _bitmap_downsample(bm, grid, out_grid, kernel, stride, padding)
+    return _keys_from_padded_bitmap(bm_out, out_grid, out_cap)
+
+
+def _strided_out_keys_sort(keys, grid: GridSpec, out_grid: GridSpec,
+                           kernel, stride, padding, out_cap: int):
+    """Sort-path fallback (any kernel/stride): enumerate the reduced per-dim
+    candidate set per input voxel, then sort + unique at static capacity."""
+    valid = keys != INVALID_KEY
+    kx, ky, kz = kernel
+    sx, sy, sz = stride
+    px, py, pz = padding
+    coords = coords_from_keys(keys, grid)  # (V, 3) zyx
+
+    def dim_candidates(i, k, s, p, out_n):
+        """All output coords o with 0 <= i + p - o*s < k, static-size."""
+        n_cand = -(-k // s)  # ceil(k/s)
+        base = (i + p) // s
+        cands = []
+        for q in range(n_cand):
+            o = base - q
+            koff = i + p - o * s
+            ok = (koff >= 0) & (koff < k) & (o >= 0) & (o < out_n)
+            cands.append((o, ok))
+        return cands
+
+    # build candidate output keys: (V * n_cand^3,)
+    cand_keys = []
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    for oz, okz in dim_candidates(z, kz, sz, pz, out_grid.nz):
+        for oy, oky in dim_candidates(y, ky, sy, py, out_grid.ny):
+            for ox, okx in dim_candidates(x, kx, sx, px, out_grid.nx):
+                ok = okz & oky & okx & valid
+                key = (oz * out_grid.ny + oy) * out_grid.nx + ox
+                cand_keys.append(jnp.where(ok, key, INVALID_KEY).astype(jnp.int32))
+    cand = jnp.concatenate(cand_keys)  # (V * n_cand^3,)
+    # lax.sort (unstable) over jnp.sort: the stable variant is ~2.5x slower
+    # on TPU (scripts/exp_r3_vox.py)
+    cand = jax.lax.sort(cand)
+    first = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
+    first = first & (cand != INVALID_KEY)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = jnp.where(first & (slot < out_cap), slot, out_cap)
+    # plain scatter-SET extraction: each kept slot is written by exactly one
+    # first-row (measured 8.7 vs segment_max's 12.5 ms at stage-0 scale,
+    # scripts/exp_r2m_strided_internals.py)
+    out_keys = jnp.full((out_cap + 1,), -1, jnp.int32).at[slot].set(
+        cand, mode="drop")[:out_cap]
+    out_valid = out_keys >= 0
+    out_keys = jnp.where(out_valid, out_keys, INVALID_KEY).astype(jnp.int32)
+    return out_keys, out_valid
+
+
 def build_conv_rulebook(
     keys,
     grid: GridSpec,
@@ -507,53 +775,19 @@ def _build_conv_rulebook_jit(
     """Strided (non-submanifold) rulebook: SparseConv3d semantics.
 
     Output active set = every output site whose receptive field touches an
-    input voxel. Built by enumerating the reduced per-dim candidate set
-    (ceil(k/s) candidates per dim) per input voxel, then sort + unique with
-    a static output capacity ``out_cap``.
+    input voxel, derived sort-free from the padded occupancy bitmap
+    (:func:`_strided_out_keys_bitmap`; candidate-sort fallback for strides
+    above 2), with a static output capacity ``out_cap``.
     kernel/stride/padding are (x, y, z) tuples.
     """
-    coords = coords_from_keys(keys, grid)  # (V, 3) zyx
-    valid = keys != INVALID_KEY
-    kx, ky, kz = kernel
     sx, sy, sz = stride
     px, py, pz = padding
-
-    def dim_candidates(i, k, s, p, out_n):
-        """All output coords o with 0 <= i + p - o*s < k, as a static-size set."""
-        n_cand = -(-k // s)  # ceil(k/s)
-        base = (i + p) // s
-        cands = []
-        for q in range(n_cand):
-            o = base - q
-            koff = i + p - o * s
-            ok = (koff >= 0) & (koff < k) & (o >= 0) & (o < out_n)
-            cands.append((o, ok))
-        return cands
-
-    # build candidate output keys: (V * n_cand^3,)
-    cand_keys = []
-    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
-    for oz, okz in dim_candidates(z, kz, sz, pz, out_grid.nz):
-        for oy, oky in dim_candidates(y, ky, sy, py, out_grid.ny):
-            for ox, okx in dim_candidates(x, kx, sx, px, out_grid.nx):
-                ok = okz & oky & okx & valid
-                key = (oz * out_grid.ny + oy) * out_grid.nx + ox
-                cand_keys.append(jnp.where(ok, key, INVALID_KEY).astype(jnp.int32))
-    cand = jnp.concatenate(cand_keys)  # (V * n_cand^3,)
-    # lax.sort (unstable) over jnp.sort: the stable variant is ~2.5x slower
-    # on TPU (scripts/exp_r3_vox.py) and stability is meaningless for values
-    cand = jax.lax.sort(cand)
-    first = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
-    first = first & (cand != INVALID_KEY)
-    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
-    slot = jnp.where(first & (slot < out_cap), slot, out_cap)
-    # plain scatter-SET extraction: each kept slot is written by exactly one
-    # first-row, so no combiner is needed -- measured 8.7 vs segment_max's
-    # 12.5 ms at stage-0 scale (scripts/exp_r2m_strided_internals.py)
-    out_keys = jnp.full((out_cap + 1,), -1, jnp.int32).at[slot].set(
-        cand, mode="drop")[:out_cap]
-    out_valid = out_keys >= 0
-    out_keys = jnp.where(out_valid, out_keys, INVALID_KEY).astype(jnp.int32)
+    if max(stride) <= 2:
+        out_keys, out_valid = _strided_out_keys_bitmap(
+            keys, grid, out_grid, kernel, stride, padding, out_cap)
+    else:
+        out_keys, out_valid = _strided_out_keys_sort(
+            keys, grid, out_grid, kernel, stride, padding, out_cap)
 
     # for each output voxel and kernel tap, find the contributing input voxel:
     # input coord = out*s - p + tap. The arithmetic (unclipped) input key is a
@@ -641,7 +875,13 @@ def build_inverse_rulebook(
     if out_lut is not None or out_grid.num_cells <= (
             DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells):
         lut = out_lut if out_lut is not None else build_bitmap_lut(out_keys, out_grid)
-        idx_all, found_all = lookup_dense_rows(lut, qkeys, ok)
+        if lut.shape[-1] == 3 and kx == 3 and sx <= 2:
+            # dx-triples of a stride<=2 transpose map to <= 2 consecutive
+            # output cells (o_x = (x + p - dx)/s), so one bitmap-row fetch
+            # serves each triple: K/3 latency-bound fetches instead of K
+            idx_all, found_all = lookup_bitmap_runs_dynamic(lut, qkeys, ok)
+        else:
+            idx_all, found_all = lookup_dense_rows(lut, qkeys, ok)
     else:
         # output key is monotone nondecreasing in the input key per tap, so
         # each row is sorted and the batched rank-join applies

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--no-mm", action="store_true", help="drop the MM siamese branch")
     ap.add_argument("--fwd-only", action="store_true",
                     help="time loss_step forward without gradients")
+    ap.add_argument("--dense-tail", action="store_true",
+                    help="run stage 4 + conv_out as dense MXU conv3d (both "
+                         "branches); drops the stage-4 rulebooks + transposes")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +50,7 @@ def main():
         max_voxels=90_000,
         backbone_caps=(80_000, 48_000, 24_000, 20_000),
         mm=not args.no_mm,
+        dense_tail=args.dense_tail,
         remat=args.remat != "off",
         remat_backbone=(False if args.remat == "roi-only" else None),
         with_roi_head=not args.no_roi,

@@ -59,6 +59,36 @@ def dense_conv3d(dense, weights, kernel, stride, padding):
     return out
 
 
+def test_bitmap_out_keys_match_sort_path():
+    """The bitmap dilate+subsample active-set derivation must agree with the
+    candidate-sort derivation for every ladder shape (incl. overflow caps)."""
+    rng = np.random.default_rng(7)
+    cases = [
+        # (grid, kernel, stride, padding)
+        ((37, 29, 11), (3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((64, 64, 8), (3, 3, 3), (2, 2, 2), (1, 1, 0)),
+        ((33, 65, 5), (1, 1, 3), (1, 1, 2), (0, 0, 0)),
+        ((70, 40, 6), (3, 3, 1), (2, 2, 1), (1, 1, 0)),
+        ((32, 32, 4), (3, 3, 3), (1, 1, 1), (1, 1, 1)),
+    ]
+    for (nx, ny, nz), kernel, stride, padding in cases:
+        grid = sparse.GridSpec(nx, ny, nz)
+        out_grid = grid.downsample(stride, padding, kernel)
+        for density, cap_frac in ((0.02, 1.0), (0.3, 1.0), (0.3, 0.4)):
+            n = max(int(grid.num_cells * density), 4)
+            cells = np.sort(rng.choice(grid.num_cells, n, replace=False))
+            v_cap = n + 7
+            keys = np.full(v_cap, sparse.INVALID_KEY, np.int32)
+            keys[:n] = cells
+            cap = max(int(out_grid.num_cells * density * 6 * cap_frac), 8)
+            kb, vb = sparse._strided_out_keys_bitmap(
+                jnp.asarray(keys), grid, out_grid, kernel, stride, padding, cap)
+            ks, vs = sparse._strided_out_keys_sort(
+                jnp.asarray(keys), grid, out_grid, kernel, stride, padding, cap)
+            np.testing.assert_array_equal(np.asarray(kb), np.asarray(ks))
+            np.testing.assert_array_equal(np.asarray(vb), np.asarray(vs))
+
+
 def test_subm_conv_matches_dense():
     rng = np.random.default_rng(0)
     grid = GridSpec(nx=10, ny=9, nz=5)
