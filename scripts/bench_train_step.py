@@ -36,7 +36,7 @@ def main():
     import jax.numpy as jnp
 
     from cpd_tpu.models.detector import VoxelRCNN
-    from cpd_tpu.parallel.trainer import build_optimizer, init_state, make_train_step
+    from cpd_tpu.parallel.trainer import build_optimizer, make_train_step
     from cpd_tpu.utils.common import enable_compile_cache
     from cpd_tpu.utils.synthetic import make_lidar_frame
 
@@ -79,7 +79,24 @@ def main():
         "css_score": jnp.asarray(rng.uniform(0.3, 1.0, (b, n_gt)).astype(np.float32)),
     }
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 1000)
-    state = init_state(model, batch, tx)
+    # jit the flax init: eager init dispatches ~10^4 small ops over the axon
+    # tunnel (one RPC each) -- many minutes at batch-4 Waymo scale
+    import time as _t
+    from flax.core import FrozenDict
+
+    from cpd_tpu.parallel.trainer import TrainState
+    _t0 = _t.perf_counter()
+    init_jit = jax.jit(lambda r: model.init(
+        {"params": r, "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, batch, True))
+    _vars = init_jit(jax.random.PRNGKey(0))
+    np.asarray(jax.tree_util.tree_leaves(_vars)[0].ravel()[0])
+    print(f"init: {_t.perf_counter() - _t0:.0f}s")
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=_vars["params"],
+        batch_stats=_vars.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(_vars["params"]), tx=tx, apply_fn=model.apply,
+    )
     if args.fwd_only:
         def fwd_step(state, b, rng):
             (loss, tb), _ = state.apply_fn(

@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
 
     from cpd_tpu.models.detector import VoxelRCNN
-    from cpd_tpu.parallel.trainer import build_optimizer, init_state, make_train_step
+    from cpd_tpu.parallel.trainer import build_optimizer, make_train_step
     from cpd_tpu.utils.common import enable_compile_cache
     from cpd_tpu.utils.synthetic import make_lidar_frame
 
@@ -85,7 +85,23 @@ def main():
         try:
             model = VoxelRCNN(**base, **kw)
             tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003}, 1000)
-            state = init_state(model, batch, tx)
+            # jit the flax init: eager init dispatches ~10^4 small ops over
+            # the axon tunnel (one RPC each) -- many minutes per variant
+            t0 = time.perf_counter()
+            init_jit = jax.jit(lambda r: model.init(
+                {"params": r, "sampling": jax.random.PRNGKey(1),
+                 "dropout": jax.random.PRNGKey(2)}, batch, True))
+            variables = init_jit(jax.random.PRNGKey(0))
+            sync(variables)
+            print(f"{name:>22s}: init {time.perf_counter() - t0:.0f}s", flush=True)
+            from cpd_tpu.parallel.trainer import TrainState
+            from flax.core import FrozenDict
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=variables["params"],
+                batch_stats=variables.get("batch_stats", FrozenDict()),
+                opt_state=tx.init(variables["params"]), tx=tx,
+                apply_fn=model.apply,
+            )
             if fwd_only:
                 def fwd_step(state, bb, rng_):
                     (loss, tb), _ = state.apply_fn(
