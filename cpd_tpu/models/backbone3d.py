@@ -72,7 +72,7 @@ def _downsample_mask(mask, kernel_xyz, stride_xyz, pad_xyz):
 
 def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False,
                            lut_max_cells: int = None, with_conv_out: bool = True,
-                           dense_tail: bool = False):
+                           dense_tail: bool = False, return_luts: bool = False):
     """All 8 rulebooks of one encoder branch, computed OUTSIDE any remat
     boundary (they carry no gradients; recomputing their LUT scatters / joins
     in the backward replay would dominate the training step).
@@ -80,9 +80,15 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     ``with_transpose`` additionally builds the INVERSE rulebooks of the four
     strided convs (``*_T`` keys) so their backward runs as a gather-GEMM via
     the custom VJP (no scatter-adds) -- train-time only; submanifold convs
-    get their transpose for free by mirroring tap columns."""
+    get their transpose for free by mirroring tap columns.
+
+    ``return_luts`` additionally returns the stage bitmap-rank LUTs of the
+    RoI-pooling scales ({"x_conv3": ..., "x_conv4": ...}, entries only when
+    built): the RoI head's voxel queries look up the SAME key sets, so
+    rebuilding these tables there would duplicate the scatter+cumsum builds."""
     g = stage_grids(grid)
     rbs = {}
+    luts = {}
     max_cells = sparse.DENSE_LUT_MAX_CELLS if lut_max_cells is None else lut_max_cells
 
     def stage_lut(k, gg):
@@ -106,6 +112,8 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
         k1, g["x_conv2"], (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1], lut=lut1)
     k2 = rbs["down3"].out_keys
     lut2 = stage_lut(k2, g["x_conv3"])
+    if lut2 is not None:
+        luts["x_conv3"] = lut2
     rbs["subm3"] = sparse.build_subm_rulebook_batched(k2, g["x_conv3"], lut=lut2)
     if with_transpose:
         # transposes for the strided convs that exist on EVERY path (the
@@ -120,11 +128,13 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     if dense_tail:
         # stage 4 + conv_out run as dense conv3d (ResBranch._dense_tail):
         # the stage-4 rulebooks (and their transposes) are never needed
-        return rbs
+        return (rbs, luts) if return_luts else rbs
     rbs["down4"], _ = sparse.build_conv_rulebook_batched(
         k2, g["x_conv3"], (3, 3, 3), (2, 2, 2), (1, 1, 0), caps[2], lut=lut2)
     k3 = rbs["down4"].out_keys
     lut3 = stage_lut(k3, g["x_conv4"])
+    if lut3 is not None:
+        luts["x_conv4"] = lut3
     rbs["subm4"] = sparse.build_subm_rulebook_batched(k3, g["x_conv4"], lut=lut3)
     if with_conv_out:
         rbs["conv_out"], _ = sparse.build_conv_rulebook_batched(
@@ -137,7 +147,7 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
             rbs["conv_out_T"] = sparse.build_inverse_rulebook_batched(
                 k3, rbs["conv_out"].out_keys, g["x_conv4"], g["encoded"],
                 (1, 1, 3), (1, 1, 2), (0, 0, 0))
-    return rbs
+    return (rbs, luts) if return_luts else rbs
 
 
 def stage_grids(grid: GridSpec):
@@ -415,9 +425,12 @@ class VoxelResBackBone8x(nn.Module):
         )
         # rulebooks carry no gradients: build them OUTSIDE the remat boundary
         # so the backward replay recomputes only the conv GEMMs
-        rbs = build_branch_rulebooks(keys, self.grid, self.caps, with_transpose=train,
-                                     lut_max_cells=self.lut_max_cells,
-                                     dense_tail=self.dense_tail)
+        rbs, luts = build_branch_rulebooks(keys, self.grid, self.caps,
+                                           with_transpose=train,
+                                           lut_max_cells=self.lut_max_cells,
+                                           dense_tail=self.dense_tail,
+                                           return_luts=True)
+        stage_luts = dict(luts)
         raw = branch(features, rbs, train)
         if self.mm and features_mm is not None:
             branch1 = branch_cls(
@@ -426,11 +439,13 @@ class VoxelResBackBone8x(nn.Module):
                 compute_dtype=self.compute_dtype, name="branch1"
             )
             # the light branch has no conv_out: skip that rulebook + transpose
-            rbs_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
-                                            with_transpose=train,
-                                            lut_max_cells=self.lut_max_cells,
-                                            with_conv_out=False,
-                                            dense_tail=self.dense_tail)
+            rbs_mm, luts_mm = build_branch_rulebooks(keys_mm, self.grid, self.caps,
+                                                     with_transpose=train,
+                                                     lut_max_cells=self.lut_max_cells,
+                                                     with_conv_out=False,
+                                                     dense_tail=self.dense_tail,
+                                                     return_luts=True)
+            stage_luts.update({k + "_mm": v for k, v in luts_mm.items()})
             out_mm = branch1(features_mm, rbs_mm, train)
             for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
                 raw[k + "_mm"] = out_mm[k]
@@ -443,6 +458,9 @@ class VoxelResBackBone8x(nn.Module):
             else:
                 f, ky = v
                 out[k] = (f, ky, grids[k.replace("_mm", "")])
+        if stage_luts:
+            # the RoI head's voxel queries reuse these instead of rebuilding
+            out["stage_luts"] = stage_luts
         return out
 
 

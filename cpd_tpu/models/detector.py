@@ -298,8 +298,10 @@ class VoxelRCNN(nn.Module):
                 maps, batch["transform_param"], self.point_cloud_range,
                 self.voxel_size[0] * 8, fusion=self.align_method)
             # only the stage-0 rows feed the RoI head / downstream consumers
-            backbone_out = {k: (f[:b], ky[:b], g)
-                            for k, (f, ky, g) in backbone_out.items()}
+            backbone_out = {
+                k: ({n: l[:b] for n, l in v.items()} if k == "stage_luts"
+                    else (v[0][:b], v[1][:b], v[2]))
+                for k, v in backbone_out.items()}
         elif aligning:
             # unpacked fallback: S sequential shared-weight backbone passes
             # (lower peak HBM; points_stage{i} naming -- "points1" is taken by

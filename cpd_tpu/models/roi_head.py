@@ -235,12 +235,17 @@ def decode_roi_boxes(rois, rcnn_reg, coder: ResidualCoder):
 
 def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
                          voxel_size, point_cloud_range, grid_size, nsample,
-                         suffix: str = "", use_lut=None, lut_max_cells=None):
+                         suffix: str = "", use_lut=None, lut_max_cells=None,
+                         stage_luts=None):
     """The gradient-free half of roi_grid_pool: grid points + voxel queries.
 
     Computed OUTSIDE the remat boundary (rois are stop-gradient constants and
     the joins are expensive to replay). Returns {(name, gi): (idx, valid, rel)}
     plus the flat queries (B, R*g^3, 3).
+
+    ``stage_luts`` (optional {name(+suffix): bitmap LUT}) reuses the stage
+    tables the backbone's rulebook builders already constructed for the same
+    key sets instead of rebuilding them here.
     """
     b, r = rois.shape[:2]
     g3 = grid_size ** 3
@@ -257,9 +262,11 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
         # trips a TPU compiler check (scatter_emitter operand_indices)
         eff_use = pool.QUERY_USE_LUT_DEFAULT if use_lut is None else use_lut
         eff_max = pool.QUERY_LUT_MAX_CELLS_DEFAULT if lut_max_cells is None else lut_max_cells
-        if eff_use and grid.num_cells <= eff_max:
+        luts = (stage_luts or {}).get(name + suffix) if eff_use else None
+        if luts is None and eff_use and grid.num_cells <= eff_max:
             from ..ops import sparse as _sparse
             luts = _sparse.build_bitmap_lut_batched(keys, grid)
+        if luts is not None:
 
             def q_multi(qxyz, k, l):
                 return pool.voxel_query_multi(
@@ -444,12 +451,14 @@ class VoxelRCNNProtoHead(nn.Module):
             k: (v[0], v[1]) for k, v in backbone_out.items()
             if k.startswith(("x_conv3", "x_conv4"))
         }
+        stage_luts = backbone_out.get("stage_luts")
         q0 = compute_pool_queries(rois, scale_features, self.scale_grids,
                                   self.pool_branch.scale_specs, self.voxel_size,
                                   self.point_cloud_range, self.grid_size,
                                   self.pool_branch.nsample, "",
                                   use_lut=self.pool_use_lut,
-                                  lut_max_cells=self.pool_lut_max_cells)
+                                  lut_max_cells=self.pool_lut_max_cells,
+                                  stage_luts=stage_luts)
         pooled0 = self.pool_branch(rois, scale_features, q0, "")
         shared0 = self.shared0(pooled0)
         rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
@@ -470,7 +479,8 @@ class VoxelRCNNProtoHead(nn.Module):
                                       self.point_cloud_range, self.grid_size,
                                       self.pool_branch_mm.nsample, "_mm",
                                       use_lut=self.pool_use_lut,
-                                      lut_max_cells=self.pool_lut_max_cells)
+                                      lut_max_cells=self.pool_lut_max_cells,
+                                      stage_luts=stage_luts)
             pooled1 = self.pool_branch_mm(rois, scale_features, q1, "_mm")
             shared1 = self.shared1(pooled1)
             out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]

@@ -1035,9 +1035,24 @@ def _im2col_mode(idx_size, c, win_run):
     return "flat" if idx_size <= FLAT_GATHER_MAX_IDX else "per-tap"
 
 
+# decompose batched im2col gathers into per-sample gathers above this
+# per-sample index count: XLA's leading-batch-dim gather lowers ~2x slower
+# than the SAME gathers issued per sample (measured on v5e,
+# scripts/exp_r3_flat_gather.py: 4-conv chains at batch 4 run 130-157 ms
+# batched vs 58-68 ms as four batch-1 slices at stages 1-3). Tiny configs
+# (unit tests, the multichip dryrun) stay batched so their compiled op
+# count -- and compile time -- is unchanged.
+PER_SAMPLE_GATHER_MIN_IDX = 200_000
+
+
 def _gather_by_mode(features, idx, found, mode):
     """Dispatch to the chosen im2col formulation; all return (B, N, K, C)
     except 'per-tap' which returns the tap-major (B, K, N, C) layout."""
+    b = features.shape[0]
+    if b > 1 and idx.size // b >= PER_SAMPLE_GATHER_MIN_IDX:
+        outs = [_gather_by_mode(features[i:i + 1], idx[i:i + 1],
+                                found[i:i + 1], mode) for i in range(b)]
+        return jnp.concatenate(outs, axis=0)
     if mode == "win":
         return gather_rows_windowed(features, idx, found, flat=False)
     if mode == "win-flat":

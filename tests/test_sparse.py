@@ -403,3 +403,44 @@ def test_windowed_gather_strided_and_inverse_rulebooks(monkeypatch):
         np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-5, err_msg=mode)
         np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-5, err_msg=mode)
         np.testing.assert_allclose(got[2], ref[2], rtol=1e-5, atol=1e-4, err_msg=mode)
+
+
+def test_per_sample_gather_decomposition_agrees(monkeypatch):
+    """Batched im2col gathers decompose into per-sample gathers above
+    PER_SAMPLE_GATHER_MIN_IDX (a ~2x lowering win at train scale, measured
+    scripts/exp_r3_flat_gather.py). Forcing the threshold to 1 must leave
+    conv outputs and custom-VJP grads bit-identical to the batched lowering
+    for every im2col mode."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    grid = GridSpec(13, 11, 7)
+    b, n_occ, cap = 3, 200, 256
+    kk = np.full((b, cap), INVALID_KEY, np.int32)
+    feats = np.zeros((b, cap, 6), np.float32)
+    for i in range(b):
+        keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False))
+        kk[i, :n_occ] = keys.astype(np.int32)
+        feats[i, :n_occ] = rng.normal(size=(n_occ, 6)).astype(np.float32)
+    w = rng.normal(size=(27, 6, 8)).astype(np.float32) * 0.2
+    rb = sparse.build_subm_rulebook_batched(jnp.asarray(kk), grid)
+
+    def run():
+        def loss(f, ww):
+            o = sparse.sparse_conv_apply_batched(
+                jnp.asarray(f), rb, ww, transpose="mirror", win_run=3)
+            return jnp.sum(o * o), o
+
+        (_, o), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            jnp.asarray(feats), jnp.asarray(w))
+        return np.asarray(o), np.asarray(g[0]), np.asarray(g[1])
+
+    for mode in ("per-tap", "flat", "win", "win-flat"):
+        monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
+        monkeypatch.setattr(sparse, "PER_SAMPLE_GATHER_MIN_IDX", 10**12)
+        ref = run()
+        monkeypatch.setattr(sparse, "PER_SAMPLE_GATHER_MIN_IDX", 1)
+        got = run()
+        for r, g_, what in zip(ref, got, ("out", "dx", "dw")):
+            np.testing.assert_allclose(g_, r, rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{mode} {what}")
