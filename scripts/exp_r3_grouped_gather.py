@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--chain", type=int, default=4)
+    ap.add_argument("--stages", type=str, default="",
+                    help="comma list of stage substrings to run (default all)")
+    ap.add_argument("--variants", type=str, default="",
+                    help="comma list of variant substrings to run (default all)")
     args = ap.parse_args()
 
     import jax
@@ -121,7 +125,11 @@ def main():
     ]
     dt = jnp.bfloat16
     M = 1_000_000
+    stage_filter = [s for s in args.stages.split(",") if s]
+    variant_filter = [s for s in args.variants.split(",") if s]
     for label, rbname, v, c in stages:
+        if stage_filter and not any(s in label for s in stage_filter):
+            continue
         rb = rbs[rbname]
         x = jnp.asarray(rng.normal(size=(b, v, c)).astype(np.float32)).astype(dt)
         w = jnp.asarray((rng.normal(size=(27, c, c)) * 0.1).astype(np.float32)).astype(dt)
@@ -138,16 +146,31 @@ def main():
                 return y
             return jax.jit(chain)
 
+        def per_sample(gather):
+            def go(f, i, fo):
+                return jnp.concatenate(
+                    [gather(f[s:s + 1], i[s:s + 1], fo[s:s + 1])
+                     for s in range(f.shape[0])], axis=0)
+            return go
+
         variants = [
             ("win (current)", lambda f, i, fo: sparse.gather_rows_windowed(f, i, fo)),
+            ("prod per-sample win", per_sample(
+                lambda f, i, fo: sparse.gather_rows_windowed(f, i, fo))),
             ("win-g 2M", lambda f, i, fo: win_grouped(f, i, fo, 2 * M)),
             ("win-g 4M", lambda f, i, fo: win_grouped(f, i, fo, 4 * M)),
+            ("ps win-g 2M", per_sample(
+                lambda f, i, fo: win_grouped(f, i, fo, 2 * M))),
             ("tap-major (current)", None),  # special: tap-major layout
             ("tap-g 2M", lambda f, i, fo: tap_grouped(f, i, fo, 2 * M)),
             ("tap-g 4M", lambda f, i, fo: tap_grouped(f, i, fo, 4 * M)),
+            ("ps tap-g 2M", per_sample(
+                lambda f, i, fo: tap_grouped(f, i, fo, 2 * M))),
         ]
         ref = None
         for name, gather in variants:
+            if variant_filter and not any(s in name for s in variant_filter):
+                continue
             if gather is None:
                 def chain_tm(x, idx, found, valid, w):
                     y = x
