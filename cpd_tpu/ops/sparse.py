@@ -227,36 +227,40 @@ def lookup_bitmap(bm, queries, query_ok):
 
 
 def lookup_bitmap_rows(bm, queries, query_ok):
-    """lookup_bitmap for (P, V) tap-major queries, one row gather per tap."""
-    p = queries.shape[0]
+    """lookup_bitmap for (P, V) tap-major queries: ONE grouped (P, V)-index
+    row gather (same rows as P per-tap gathers, one dispatch)."""
     n_words = bm.shape[0]
     safe_q = jnp.where(query_ok, queries, 0)
-    rows, hits = [], []
-    for t in range(p):
-        pair = bm[jnp.clip(safe_q[t] >> 5, 0, n_words - 1)]
-        r, h = _bitmap_rank(pair[:, 0], pair[:, 1], safe_q[t] & 31)
-        rows.append(r)
-        hits.append(h)
-    found = query_ok & jnp.stack(hits)
-    return jnp.where(found, jnp.stack(rows), 0).astype(jnp.int32), found
+    pairs = bm[jnp.clip(safe_q >> 5, 0, n_words - 1)]  # (P, V, 3)
+    row, hit = _bitmap_rank(pairs[..., 0], pairs[..., 1], safe_q & 31)
+    found = query_ok & hit
+    return jnp.where(found, row, 0).astype(jnp.int32), found
 
 
 def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query_ok):
-    """Run-packed bitmap-rank lookups: ONE 12-byte row gather per dx-RUN of
-    taps (cells c..c+span-1 touch at most 2 adjacent 32-bit words for
-    span <= 31; the second word rides column 2 of the same row and its
-    prefix is derived as prefix + popcount(word)). Mirrors
-    :func:`lookup_packed_taps` on the bitmap table."""
+    """Run-packed bitmap-rank lookups: ONE 12-byte row per dx-RUN of taps
+    (cells c..c+span-1 touch at most 2 adjacent 32-bit words for span <= 31;
+    the second word rides column 2 of the same row and its prefix is derived
+    as prefix + popcount(word)), and ALL runs' row fetches are GROUPED into a
+    single (R, V)-index gather: same fetched rows, one dispatch instead of R
+    latency-serialized ones. Mirrors :func:`lookup_packed_taps` on the
+    bitmap table."""
     p = len(offsets_zyx)
     n_words = bm.shape[0]
-    rows = [None] * p
-    hits = [None] * p
-    for d0, run in _delta_runs(offsets_zyx, grid):
+    runs = _delta_runs(offsets_zyx, grid)
+    w0s = []
+    for d0, run in runs:
         span = run[-1][0] - d0 + 1
         assert span <= 32, f"dx-run span {span} exceeds one next-word window"
-        c0 = base_cells + d0
-        w0 = jnp.clip(c0 >> 5, 0, n_words - 1)
-        row0 = bm[w0]  # (V, 3): word, prefix, next word
+        w0s.append(jnp.clip((base_cells + d0) >> 5, 0, n_words - 1))
+    wstack = jnp.stack(w0s)  # (R, V)
+    rows_all = bm[wstack]  # ONE grouped gather: (R, V, 3) word/prefix/next
+    rows = [None] * p
+    hits = [None] * p
+    for ri, (d0, run) in enumerate(runs):
+        span = run[-1][0] - d0 + 1
+        w0 = wstack[ri]
+        row0 = rows_all[ri]  # (V, 3): word, prefix, next word
         straddles = span > 1
         if straddles:
             pref1 = row0[:, 1] + jax.lax.population_count(row0[:, 0])
@@ -293,16 +297,18 @@ def lookup_bitmap_runs_dynamic(bm, cells, ok, run: int = 3):
     n_words = bm.shape[0]
     big = jnp.int32(1 << 30)
     rows, hits = [None] * p, [None] * p
-    for g0 in range(0, p, run):
-        cg = cells[g0:g0 + run]
-        okg = ok[g0:g0 + run]
-        cmin = jnp.min(jnp.where(okg, cg, big), axis=0)
-        cmin = jnp.where(cmin == big, 0, cmin)
-        w0 = jnp.clip(cmin >> 5, 0, n_words - 1)
-        row0 = bm[w0]  # (V, 3): word, prefix, next word
+    cg = cells.reshape(p // run, run, v)
+    okg = ok.reshape(p // run, run, v)
+    cmin = jnp.min(jnp.where(okg, cg, big), axis=1)  # (P/run, V)
+    cmin = jnp.where(cmin == big, 0, cmin)
+    wstack = jnp.clip(cmin >> 5, 0, n_words - 1)
+    rows_all = bm[wstack]  # ONE grouped gather: (P/run, V, 3)
+    for gi, g0 in enumerate(range(0, p, run)):
+        w0 = wstack[gi]
+        row0 = rows_all[gi]  # (V, 3): word, prefix, next word
         pref1 = row0[:, 1] + jax.lax.population_count(row0[:, 0])
         for t in range(g0, g0 + run):
-            cell = jnp.where(ok[t], cells[t], cmin)
+            cell = jnp.where(ok[t], cells[t], cmin[gi])
             in_next = (cell >> 5) > w0
             word = jnp.where(in_next, row0[:, 2], row0[:, 0])
             pref = jnp.where(in_next, pref1, row0[:, 1])
@@ -1021,17 +1027,82 @@ def gather_rows_windowed(features, idx, found, flat=False):
     return sel.reshape(b, n, k, c)
 
 
+# grouped im2col gathers pack this many indices into one take_along_axis op
+# (the XLA gather fast path holds to ~2M indices; see FLAT_GATHER_MAX_IDX).
+# The im2col phase is DISPATCH-bound once the windowed/per-tap forms hold the
+# transaction count down: win issues K/3 ops and per-tap K ops per gather,
+# each op paying fixed dispatch latency. Packing G windows/taps per op keeps
+# the same bytes and rows but ~G-fold fewer ops. IMMUTABLE constant.
+GATHER_GROUP_BUDGET = 2_000_000
+
+
+def gather_rows_windowed_grouped(features, idx, found,
+                                 budget: int = GATHER_GROUP_BUDGET):
+    """:func:`gather_rows_windowed` with the K/3 window gathers PACKED into
+    ceil(B*N*(K/3)/budget) take_along_axis ops (same fetched rows, ~G-fold
+    fewer dispatches). (B, V, C) x (B, N, K) -> (B, N, K, C)."""
+    b, v, c = features.shape
+    n, k = idx.shape[1], idx.shape[2]
+    assert k % 3 == 0, "windowed gather requires dx-runs of 3"
+    g = k // 3
+    shift1 = jnp.pad(features[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    shift2 = jnp.pad(features[:, 2:], ((0, 0), (0, 2), (0, 0)))
+    wtab = jnp.concatenate([features, shift1, shift2], axis=-1)  # (B, V, 3C)
+    idx_g = idx.reshape(b, n, g, 3)
+    found_g = found.reshape(b, n, g, 3)
+    big = jnp.where(found_g, idx_g, jnp.int32(1 << 30))
+    base = jnp.min(big, axis=-1)  # (b, n, g) rank of the run's smallest found key
+    base = jnp.where(jnp.any(found_g, -1), base, 0)
+    base = jnp.minimum(base, v - 1)
+    gper = max(1, budget // (b * n))
+    cols = []
+    for j0 in range(0, g, gper):
+        gi = base[:, :, j0:j0 + gper]
+        gg = gi.shape[-1]
+        w = jnp.take_along_axis(wtab, gi.reshape(b, n * gg)[..., None], axis=1)
+        cols.append(w.reshape(b, n, gg, 3 * c))
+    wins = jnp.concatenate(cols, axis=2).reshape(b, n, g, 3, c)
+    d = jnp.clip(idx_g - base[..., None], 0, 2)[..., None]  # (b, n, g, 3, 1)
+    sel = jnp.where(d == 0, wins[:, :, :, 0:1, :],
+                    jnp.where(d == 1, wins[:, :, :, 1:2, :],
+                              wins[:, :, :, 2:3, :]))
+    sel = jnp.where(found_g[..., None], sel, 0)
+    return sel.reshape(b, n, k, c)
+
+
+def gather_rows_tap_grouped(features, idx, found,
+                            budget: int = GATHER_GROUP_BUDGET):
+    """Per-tap im2col with the K tap gathers PACKED into
+    ceil(B*N*K/budget) take_along_axis ops. (B, V, C) x (B, N, K) ->
+    (B, N, K, C) (row-major layout, unlike :func:`gather_rows_tap_major`)."""
+    b, v, c = features.shape
+    n, k = idx.shape[1], idx.shape[2]
+    gper = max(1, budget // (b * n))
+    outs = []
+    for t0 in range(0, k, gper):
+        gi = idx[:, :, t0:t0 + gper]
+        gg = gi.shape[-1]
+        w = jnp.take_along_axis(features, gi.reshape(b, n * gg)[..., None],
+                                axis=1)
+        outs.append(w.reshape(b, n, gg, c))
+    g = jnp.concatenate(outs, axis=2)
+    return jnp.where(found[..., None], g, 0)
+
+
 def _im2col_mode(idx_size, c, win_run):
     """Static im2col formulation choice, measured on-chip IN CONTEXT (4-5 conv
     chains on real-frame rulebooks, scripts/exp_r2l_stage2_modes.py): windowed
     wins everywhere C <= 64 (stage2 4x chain: win 18.8 / per-tap 28.6 /
     win-flat 47.0 ms -- the standalone probe exp_r2j had picked win-flat);
-    at C >= 128 the wide rows amortize the fetch latency and per-tap wins
-    (stage4: 10.9 vs flat 11.9 vs win 19.4)."""
+    at C >= 128 the wide rows amortize the fetch latency and the GROUPED
+    per-tap form wins (all K taps in one <=2M-index take_along_axis per
+    sample: stage4 4x chain batch 4, scripts/exp_r3_grouped_gather.py:
+    ps tap-g 45.6 vs tap-major 80.8 vs per-sample win 70.0 ms; grouping
+    LOSES at C <= 64 where the windowed fetches are already wide)."""
     if win_run == 3 and c <= 64:
         return "win"
     if c >= 128:
-        return "per-tap"
+        return "tap-g"
     return "flat" if idx_size <= FLAT_GATHER_MAX_IDX else "per-tap"
 
 
@@ -1055,10 +1126,14 @@ def _gather_by_mode(features, idx, found, mode):
         return jnp.concatenate(outs, axis=0)
     if mode == "win":
         return gather_rows_windowed(features, idx, found, flat=False)
+    if mode == "win-g":
+        return gather_rows_windowed_grouped(features, idx, found)
     if mode == "win-flat":
         return gather_rows_windowed(features, idx, found, flat=True)
     if mode == "flat":
         return gather_rows_flat(features, idx, found)
+    if mode == "tap-g":
+        return gather_rows_tap_grouped(features, idx, found)
     return gather_rows_tap_major(features, idx, found)
 
 

@@ -167,7 +167,13 @@ def main():
             ("ps tap-g 2M", per_sample(
                 lambda f, i, fo: tap_grouped(f, i, fo, 2 * M))),
         ]
-        ref = None
+        # Correctness reference: ALWAYS the unfiltered baseline (win mode),
+        # computed unbenchmarked, so --variants runs validate against the
+        # production path rather than against each other (ADVICE r3).
+        base_chain = mk_chain(
+            lambda f, i, fo: sparse.gather_rows_windowed(f, i, fo))
+        ref = np.asarray(
+            base_chain(x, rb.idx, rb.found, rb.out_valid, w), np.float32)
         for name, gather in variants:
             if variant_filter and not any(s in name for s in variant_filter):
                 continue
@@ -186,12 +192,9 @@ def main():
             else:
                 out = bench(mk_chain(gather), f"{label} {name}",
                             x, rb.idx, rb.found, rb.out_valid, w)
-            if ref is None:
-                ref = np.asarray(out, np.float32)
-            else:
-                err = float(np.max(np.abs(np.asarray(out, np.float32) - ref)))
-                if err > 1e-2:
-                    print(f"  !! {name} mismatch {err}")
+            err = float(np.max(np.abs(np.asarray(out, np.float32) - ref)))
+            if err > 1e-2:
+                print(f"  !! {name} mismatch {err}")
 
 
 if __name__ == "__main__":

@@ -355,11 +355,11 @@ def test_im2col_formulations_agree(monkeypatch):
         return np.asarray(o), np.asarray(g[0]), np.asarray(g[1]), np.asarray(o_plain)
 
     results = {}
-    for mode in ("per-tap", "flat", "win", "win-flat"):
+    for mode in ("per-tap", "flat", "win", "win-flat", "win-g", "tap-g"):
         monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
         results[mode] = run()
     ref = results["per-tap"]
-    for mode in ("flat", "win", "win-flat"):
+    for mode in ("flat", "win", "win-flat", "win-g", "tap-g"):
         got = results[mode]
         np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-5, err_msg=mode)
         np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-5, err_msg=mode)
@@ -397,7 +397,7 @@ def test_windowed_gather_strided_and_inverse_rulebooks(monkeypatch):
 
     monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r: "per-tap")
     ref = run()
-    for mode in ("win", "win-flat"):
+    for mode in ("win", "win-flat", "win-g"):
         monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
         got = run()
         np.testing.assert_allclose(got[0], ref[0], rtol=1e-5, atol=1e-5, err_msg=mode)
@@ -435,7 +435,7 @@ def test_per_sample_gather_decomposition_agrees(monkeypatch):
             jnp.asarray(feats), jnp.asarray(w))
         return np.asarray(o), np.asarray(g[0]), np.asarray(g[1])
 
-    for mode in ("per-tap", "flat", "win", "win-flat"):
+    for mode in ("per-tap", "flat", "win", "win-flat", "win-g", "tap-g"):
         monkeypatch.setattr(sparse, "_im2col_mode", lambda s, c, r, _m=mode: _m)
         monkeypatch.setattr(sparse, "PER_SAMPLE_GATHER_MIN_IDX", 10**12)
         ref = run()
@@ -444,3 +444,27 @@ def test_per_sample_gather_decomposition_agrees(monkeypatch):
         for r, g_, what in zip(ref, got, ("out", "dx", "dw")):
             np.testing.assert_allclose(g_, r, rtol=1e-6, atol=1e-6,
                                        err_msg=f"{mode} {what}")
+
+
+def test_grouped_gather_chunking_matches_reference():
+    """gather_rows_windowed_grouped / gather_rows_tap_grouped must agree with
+    their ungrouped forms even when the index budget forces MULTIPLE chunks
+    (budget < B*N*(K/3)): the chunk boundaries are purely a dispatch choice."""
+    rng = np.random.default_rng(5)
+    grid = GridSpec(9, 8, 6)
+    n_occ, cap = 150, 160
+    keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False)).astype(np.int32)
+    kk = np.concatenate([keys, np.full(cap - n_occ, INVALID_KEY, np.int32)])[None]
+    feats = jnp.asarray(rng.normal(size=(2, cap, 4)).astype(np.float32))
+    rb = sparse.build_subm_rulebook_batched(jnp.asarray(np.repeat(kk, 2, 0)), grid)
+    ref_win = sparse.gather_rows_windowed(feats, rb.idx, rb.found)
+    ref_tap = sparse.gather_rows_per_tap(feats, rb.idx, rb.found)
+    for budget in (1, cap, 2 * cap * 2, 10**9):  # 1 window/op ... all in one
+        got_w = sparse.gather_rows_windowed_grouped(feats, rb.idx, rb.found,
+                                                    budget=budget)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_win),
+                                   atol=1e-6, err_msg=f"win budget={budget}")
+        got_t = sparse.gather_rows_tap_grouped(feats, rb.idx, rb.found,
+                                               budget=budget)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_tap),
+                                   atol=1e-6, err_msg=f"tap budget={budget}")
