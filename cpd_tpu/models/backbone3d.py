@@ -70,6 +70,12 @@ def _downsample_mask(mask, kernel_xyz, stride_xyz, pad_xyz):
     return out[..., 0] > 0
 
 
+# below this per-sample voxel-cap, batched (vmapped) book builds stay as one
+# program (compile-count parity for tiny configs); above it, per-sample
+# builds dodge the ~2x batched-gather lowering penalty. IMMUTABLE constant.
+BOOKS_PER_SAMPLE_MIN_VOXELS = 20_000
+
+
 def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = False,
                            lut_max_cells: int = None, with_conv_out: bool = True,
                            dense_tail: bool = False, return_luts: bool = False):
@@ -85,7 +91,25 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     ``return_luts`` additionally returns the stage bitmap-rank LUTs of the
     RoI-pooling scales ({"x_conv3": ..., "x_conv4": ...}, entries only when
     built): the RoI head's voxel queries look up the SAME key sets, so
-    rebuilding these tables there would duplicate the scatter+cumsum builds."""
+    rebuilding these tables there would duplicate the scatter+cumsum builds.
+
+    At batch > 1 and realistic voxel counts the books are built PER SAMPLE
+    (python-unrolled (1, V) slices, then concatenated): XLA's leading-batch
+    gather lowering is ~2x slower than the same gathers issued per sample
+    (sparse.PER_SAMPLE_GATHER_MIN_IDX), and the penalty afflicts the vmapped
+    builders too -- measured 299.5 -> 189.5 ms for the batch-4 train books
+    (scripts/exp_r4_books.py, v5e). Tiny configs (unit tests, the multichip
+    dryrun) stay batched so their compiled op count is unchanged."""
+    b, v_cap = keys.shape
+    if b > 1 and v_cap >= BOOKS_PER_SAMPLE_MIN_VOXELS:
+        outs = [
+            build_branch_rulebooks(keys[i:i + 1], grid, caps, with_transpose,
+                                   lut_max_cells, with_conv_out, dense_tail,
+                                   return_luts)
+            for i in range(b)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
     g = stage_grids(grid)
     rbs = {}
     luts = {}

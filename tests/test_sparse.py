@@ -468,3 +468,36 @@ def test_grouped_gather_chunking_matches_reference():
                                                budget=budget)
         np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_tap),
                                    atol=1e-6, err_msg=f"tap budget={budget}")
+
+
+def test_branch_books_per_sample_unroll_matches_batched(monkeypatch):
+    """build_branch_rulebooks at batch > 1 unrolls into per-sample builds
+    above BOOKS_PER_SAMPLE_MIN_VOXELS (a lowering choice only): the unrolled
+    books must equal the vmapped batched build leaf-for-leaf."""
+    import jax
+
+    from cpd_tpu.models import backbone3d
+
+    rng = np.random.default_rng(11)
+    grid = GridSpec(32, 28, 25)
+    cap = 512
+    kk = []
+    for s in range(3):
+        n_occ = 300 + 40 * s
+        keys = np.sort(rng.choice(grid.num_cells, n_occ, replace=False))
+        kk.append(np.concatenate(
+            [keys, np.full(cap - n_occ, INVALID_KEY, np.int32)]))
+    kk = jnp.asarray(np.stack(kk).astype(np.int32))
+    caps = (256, 128, 64, 64)
+
+    batched = backbone3d.build_branch_rulebooks(kk, grid, caps,
+                                                with_transpose=True)
+    monkeypatch.setattr(backbone3d, "BOOKS_PER_SAMPLE_MIN_VOXELS", 1)
+    unrolled = backbone3d.build_branch_rulebooks(kk, grid, caps,
+                                                 with_transpose=True)
+    assert set(batched) == set(unrolled)
+    for name in batched:
+        for leaf_b, leaf_u in zip(jax.tree_util.tree_leaves(batched[name]),
+                                  jax.tree_util.tree_leaves(unrolled[name])):
+            np.testing.assert_array_equal(np.asarray(leaf_b),
+                                          np.asarray(leaf_u), err_msg=name)
