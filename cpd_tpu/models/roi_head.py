@@ -274,7 +274,10 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
                     ds, qrange, radii, nsample, lut=l,
                 )
 
-            group_results = jax.vmap(q_multi)(queries, keys, luts)
+            # per-sample unroll at batch > 1 (pool.unrolled_vmap): the
+            # query joins are gather-bound and the batched lowering is ~2x
+            # slower than per-sample issues
+            group_results = pool.unrolled_vmap(q_multi, (queries, keys, luts))
         else:
             def q_multi(qxyz, k):
                 return pool.voxel_query_multi(
@@ -282,7 +285,7 @@ def compute_pool_queries(rois, scale_features, scale_grids, scale_specs,
                     ds, qrange, radii, nsample, use_lut=False,
                 )
 
-            group_results = jax.vmap(q_multi)(queries, keys)
+            group_results = pool.unrolled_vmap(q_multi, (queries, keys))
         for gi, (idx, valid, centers) in enumerate(group_results):
             rel = centers - queries[:, :, None, :]
             out[f"{name}_{gi}"] = (idx, valid, rel)
@@ -329,8 +332,11 @@ class GridPoolBranch(nn.Module):
                     nn.Dense(self.mlp_channels, dtype=jnp.bfloat16), nn.relu,
                     nn.Dense(self.mlp_channels, dtype=jnp.bfloat16), nn.relu,
                 ], name=f"mlp_{name}_{gi}")
-                pooled = jax.vmap(pool.group_and_pool, in_axes=(0, 0, 0, 0, None))(
-                    pre, idx, valid, rel, mlp
+                # per-sample unroll of the (Q, nsample) grouping gathers at
+                # batch > 1 (same batched-gather lowering penalty)
+                pooled = pool.unrolled_vmap(
+                    lambda p, i, v, r: pool.group_and_pool(p, i, v, r, mlp),
+                    (pre, idx, valid, rel),
                 )
                 per_scale.append(pooled)  # (B, R*g3, mlp_channels)
         cat = jnp.concatenate(per_scale, axis=-1)  # (B, R*g3, C_total)

@@ -35,6 +35,28 @@ from .geometry import rotate_points_along_z
 QUERY_USE_LUT_DEFAULT = True
 QUERY_LUT_MAX_CELLS_DEFAULT = 16_000_000
 
+# per-sample unroll threshold for gather-heavy vmapped ops (rows per sample):
+# XLA's leading-batch gather lowering runs ~2x slower than the same gathers
+# issued per sample (sparse.PER_SAMPLE_GATHER_MIN_IDX and the measured
+# rulebook-build numbers in scripts/exp_r4_books.py). IMMUTABLE constant.
+UNROLL_VMAP_MIN_ROWS = 8_192
+
+
+def unrolled_vmap(fn, args, min_rows: int = None):
+    """``jax.vmap(fn)(*args)``, python-UNROLLED per sample when the
+    per-sample row count (args[0].shape[1]) is large enough that the batched
+    gather lowering penalty outweighs the extra dispatches. Tiny shapes
+    (unit tests, the multichip dryrun) keep the single vmapped program so
+    compiled op count -- and compile time -- is unchanged."""
+    if min_rows is None:
+        min_rows = UNROLL_VMAP_MIN_ROWS
+    b = args[0].shape[0]
+    rows = args[0].shape[1] if args[0].ndim > 1 else 0
+    if b > 1 and rows >= min_rows:
+        slices = [fn(*(a[i] for a in args)) for i in range(b)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *slices)
+    return jax.vmap(fn)(*args)
+
 
 def roi_grid_points(rois, grid_size: int):
     """Dense grid of points inside each roi (voxel_rcnn_head.py get_global_grid_points).

@@ -157,3 +157,31 @@ def test_voxel_query_multi_lut_matches_join(monkeypatch):
                                       np.asarray(ij)[np.asarray(vj)])
         np.testing.assert_allclose(np.asarray(cl)[np.asarray(vl)],
                                    np.asarray(cj)[np.asarray(vj)], atol=1e-5)
+
+
+def test_unrolled_vmap_matches_vmap():
+    """pool.unrolled_vmap is a pure lowering choice: per-sample unrolled
+    voxel queries must equal the vmapped batched ones leaf-for-leaf."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    grid = GridSpec(40, 40, 8)
+    b, cap, n_occ, q = 3, 256, 200, 64
+    keys = []
+    for _ in range(b):
+        k = np.sort(rng.choice(grid.num_cells, n_occ, replace=False))
+        keys.append(np.concatenate(
+            [k, np.full(cap - n_occ, INVALID_KEY, np.int32)]))
+    keys = jnp.asarray(np.stack(keys).astype(np.int32))
+    qxyz = jnp.asarray(rng.uniform(0.5, 3.5, (b, q, 3)).astype(np.float32))
+    vs, pcr = (0.1, 0.1, 0.15), (0.0, 0.0, 0.0, 4.0, 4.0, 1.2)
+
+    def q_multi(qx, k):
+        return pool.voxel_query_multi(
+            qx, k, grid, vs, pcr, 1, (2, 2, 2), (0.3, 0.6), 8, use_lut=False)
+
+    ref = jax.vmap(q_multi)(qxyz, keys)
+    got = pool.unrolled_vmap(q_multi, (qxyz, keys), min_rows=1)
+    for leaf_r, leaf_g in zip(jax.tree_util.tree_leaves(ref),
+                              jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(leaf_r), np.asarray(leaf_g))
