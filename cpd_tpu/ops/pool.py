@@ -52,7 +52,9 @@ def unrolled_vmap(fn, args, min_rows: int = None):
         min_rows = UNROLL_VMAP_MIN_ROWS
     b = args[0].shape[0]
     rows = args[0].shape[1] if args[0].ndim > 1 else 0
-    if b > 1 and rows >= min_rows:
+    if rows >= min_rows:
+        # b == 1 also unrolls: dropping the vmap wrapper removes the leading
+        # batch dim of ONE, which alone slows gathers (exp_r4_squeeze.py)
         slices = [fn(*(a[i] for a in args)) for i in range(b)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *slices)
     return jax.vmap(fn)(*args)

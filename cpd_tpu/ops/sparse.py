@@ -906,10 +906,14 @@ def build_inverse_rulebook(
 def build_inverse_rulebook_batched(in_keys, out_keys, grid: GridSpec, out_grid: GridSpec,
                                    kernel, stride, padding, out_lut=None,
                                    lut_max_cells: int = None) -> Rulebook:
-    """vmap of build_inverse_rulebook over a leading batch axis."""
+    """vmap of build_inverse_rulebook over a leading batch axis.
+    B == 1 runs squeezed (see build_subm_rulebook_batched)."""
     fn = partial(_build_inverse_rulebook_jit, grid=grid, out_grid=out_grid,
                  kernel=kernel, stride=stride, padding=padding,
                  lut_max_cells=lut_max_cells)
+    if in_keys.shape[0] == 1:
+        return _expand1(fn(in_keys[0], out_keys[0],
+                           out_lut=None if out_lut is None else out_lut[0]))
     if out_lut is None:
         return jax.vmap(lambda i, o: fn(i, o))(in_keys, out_keys)
     return jax.vmap(lambda i, o, l: fn(i, o, out_lut=l))(in_keys, out_keys, out_lut)
@@ -1116,14 +1120,80 @@ def _im2col_mode(idx_size, c, win_run):
 PER_SAMPLE_GATHER_MIN_IDX = 200_000
 
 
+def _win_gather_2d(features, idx, found, flat=False):
+    """gather_rows_windowed on SQUEEZED (V, C) / (N, K) operands."""
+    v, c = features.shape
+    n, k = idx.shape
+    assert k % 3 == 0, "windowed gather requires dx-runs of 3"
+    g = k // 3
+    shift1 = jnp.pad(features[1:], ((0, 1), (0, 0)))
+    shift2 = jnp.pad(features[2:], ((0, 2), (0, 0)))
+    wtab = jnp.concatenate([features, shift1, shift2], axis=-1)  # (V, 3C)
+    idx_g = idx.reshape(n, g, 3)
+    found_g = found.reshape(n, g, 3)
+    big = jnp.where(found_g, idx_g, jnp.int32(1 << 30))
+    base = jnp.min(big, axis=-1)
+    base = jnp.where(jnp.any(found_g, -1), base, 0)
+    base = jnp.minimum(base, v - 1)
+    if flat:
+        wins = wtab[base.reshape(-1)].reshape(n, g, 3, c)
+    else:
+        cols = [wtab[base[:, j]] for j in range(g)]
+        wins = jnp.stack(cols, axis=1).reshape(n, g, 3, c)
+    d = jnp.clip(idx_g - base[..., None], 0, 2)[..., None]  # (n, g, 3, 1)
+    sel = jnp.where(d == 0, wins[:, :, 0:1, :],
+                    jnp.where(d == 1, wins[:, :, 1:2, :],
+                              wins[:, :, 2:3, :]))
+    sel = jnp.where(found_g[..., None], sel, 0)
+    return sel.reshape(n, k, c)
+
+
+def _gather_by_mode_2d(features, idx, found, mode):
+    """_gather_by_mode on SQUEEZED (V, C) / (N, K) operands: XLA lowers the
+    2-D gathers measurably faster than the same ops with a leading batch dim
+    of ONE (scripts/exp_r4_squeeze.py, 4-conv chains on real-frame rulebooks:
+    stage1 16.0 -> 13.8 ms, stage2 21.3 -> 17.0, stage3 19.2 -> 18.8).
+    Returns (N, K, C); 'per-tap' returns tap-major (K, N, C)."""
+    n, k = idx.shape
+    c = features.shape[-1]
+    if mode in ("win", "win-flat", "win-g"):
+        # win-g's grouping is a batched-dispatch concern; squeezed it is the
+        # plain windowed form (same values)
+        return _win_gather_2d(features, idx, found, flat=(mode == "win-flat"))
+    if mode == "flat":
+        g = features[idx.reshape(-1)].reshape(n, k, c)
+        return jnp.where(found[..., None], g, 0)
+    if mode == "tap-g":
+        gper = max(1, GATHER_GROUP_BUDGET // n)
+        outs = []
+        for t0 in range(0, k, gper):
+            gi = idx[:, t0:t0 + gper]
+            gg = gi.shape[-1]
+            outs.append(features[gi.reshape(-1)].reshape(n, gg, c))
+        g = jnp.concatenate(outs, axis=1)
+        return jnp.where(found[..., None], g, 0)
+    # per-tap, tap-major layout (K, N, C)
+    cols = [features[idx[:, t]] for t in range(k)]
+    g = jnp.stack(cols, axis=0)
+    return jnp.where(found.T[..., None], g, 0)
+
+
 def _gather_by_mode(features, idx, found, mode):
     """Dispatch to the chosen im2col formulation; all return (B, N, K, C)
-    except 'per-tap' which returns the tap-major (B, K, N, C) layout."""
+    except 'per-tap' which returns the tap-major (B, K, N, C) layout.
+
+    Batch handling (both measured, scripts/exp_r3_flat_gather.py and
+    exp_r4_squeeze.py): batches decompose into per-sample gathers above
+    PER_SAMPLE_GATHER_MIN_IDX, and single samples run on SQUEEZED 2-D
+    operands (a leading batch dim of ONE alone costs 2-14%)."""
     b = features.shape[0]
     if b > 1 and idx.size // b >= PER_SAMPLE_GATHER_MIN_IDX:
         outs = [_gather_by_mode(features[i:i + 1], idx[i:i + 1],
                                 found[i:i + 1], mode) for i in range(b)]
         return jnp.concatenate(outs, axis=0)
+    if b == 1:
+        out = _gather_by_mode_2d(features[0], idx[0], found[0], mode)
+        return out[None]
     if mode == "win":
         return gather_rows_windowed(features, idx, found, flat=False)
     if mode == "win-g":
@@ -1335,9 +1405,20 @@ def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
     return jnp.where(rulebook.out_valid[..., None], out, 0.0)
 
 
+def _expand1(tree):
+    return jax.tree_util.tree_map(lambda x: x[None], tree)
+
+
 def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3), lut=None,
                                 lut_max_cells: int = None) -> Rulebook:
-    """vmap of build_subm_rulebook over a leading batch axis of keys (B, V)."""
+    """vmap of build_subm_rulebook over a leading batch axis of keys (B, V).
+
+    At B == 1 the builder runs SQUEEZED (no vmap): a leading batch dim of
+    one alone slows the internal gathers (scripts/exp_r4_squeeze.py)."""
+    if keys.shape[0] == 1:
+        return _expand1(build_subm_rulebook(
+            keys[0], grid, kernel, None if lut is None else lut[0],
+            lut_max_cells))
     if lut is None:
         return jax.vmap(
             lambda k: build_subm_rulebook(k, grid, kernel, lut_max_cells=lut_max_cells)
@@ -1349,8 +1430,14 @@ def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3), lut=None
 
 def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, out_cap,
                                 lut=None, lut_max_cells: int = None):
-    """vmap of build_conv_rulebook over batch; returns (Rulebook with B axis, out_grid)."""
+    """vmap of build_conv_rulebook over batch; returns (Rulebook with B axis, out_grid).
+    B == 1 runs squeezed (see build_subm_rulebook_batched)."""
     out_grid = grid.downsample(stride, padding, kernel)
+    if keys.shape[0] == 1:
+        rb = _expand1(_build_conv_rulebook_jit(
+            keys[0], grid, out_grid, kernel, stride, padding, out_cap,
+            None if lut is None else lut[0], lut_max_cells))
+        return rb, out_grid
     if lut is None:
         rb = jax.vmap(
             lambda k: _build_conv_rulebook_jit(k, grid, out_grid, kernel, stride, padding,
@@ -1366,11 +1453,15 @@ def build_conv_rulebook_batched(keys, grid: GridSpec, kernel, stride, padding, o
 
 def build_dense_lut_batched(keys, grid: GridSpec):
     """vmap of build_dense_lut: (B, V) keys -> (B, num_cells) int32."""
+    if keys.shape[0] == 1:
+        return build_dense_lut(keys[0], grid)[None]
     return jax.vmap(lambda k: build_dense_lut(k, grid))(keys)
 
 
 def build_bitmap_lut_batched(keys, grid: GridSpec):
     """vmap of build_bitmap_lut: (B, V) keys -> (B, words, 3) int32."""
+    if keys.shape[0] == 1:
+        return build_bitmap_lut(keys[0], grid)[None]
     return jax.vmap(lambda k: build_bitmap_lut(k, grid))(keys)
 
 

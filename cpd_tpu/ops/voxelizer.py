@@ -164,6 +164,12 @@ def voxelize(points, spec: VoxelizerSpec, valid=None,
 def voxelize_batch(points, spec: VoxelizerSpec, valid=None,
                    with_point_voxel_id: bool = False) -> VoxelizedFrame:
     """Batched voxelization: points (B, P_cap, C) -> VoxelizedFrame with leading B axis."""
+    if valid is None:
+        valid = jnp.ones(points.shape[:2], dtype=bool)
+    if points.shape[0] == 1:
+        # squeezed: a leading batch dim of ONE alone slows the gather/sort
+        # lowerings (scripts/exp_r4_squeeze.py)
+        out = voxelize(points[0], spec, valid[0], with_point_voxel_id)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
     return jax.vmap(lambda p, v: voxelize(p, spec, v, with_point_voxel_id))(
-        points, valid if valid is not None else jnp.ones(points.shape[:2], dtype=bool)
-    )
+        points, valid)
