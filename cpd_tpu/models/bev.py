@@ -24,7 +24,8 @@ from .part_wraper import bilinear_sample_bev  # noqa: F401  (bev_align)
 def height_compression(features, keys, grid: GridSpec):
     """(B, V, C) sparse encoded tensor -> (B, ny, nx, nz*C) dense BEV map."""
     b, v, c = features.shape
-    dense = jax.vmap(lambda f, k: sparse.to_dense(f, k, grid, c))(features, keys)
+    dense = sparse.vmap_squeeze1(
+        lambda f, k: sparse.to_dense(f, k, grid, c), features, keys)
     # (B, nz, ny, nx, C) -> (B, ny, nx, nz*C)
     dense = jnp.transpose(dense, (0, 2, 3, 1, 4))
     return dense.reshape(b, grid.ny, grid.nx, grid.nz * c)
@@ -112,7 +113,7 @@ def bev_pool(features, keys, grid: GridSpec, pool: str = "max"):
             canvas = s / jnp.clip(n[:, None], min=1.0)
         return canvas.reshape(grid.ny, grid.nx, c)
 
-    return jax.vmap(one)(features, bev_key, valid)
+    return sparse.vmap_squeeze1(one, features, bev_key, valid)
 
 
 def bev_align(bev_maps, transform_params, point_cloud_range, stride_m,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import gaussian, nms
+from ..ops import sparse
 from ..utils import loss as loss_utils
 from .norm import BatchNorm2d
 
@@ -140,7 +141,11 @@ class CenterHead(nn.Module):
                 boxes, scores, labels, valid = boxes[idx], scores[idx], labels[idx], mask
             return boxes, scores, labels + 1, valid
 
-        boxes, scores, labels, valid = jax.vmap(decode_one)((hm, center, center_z, dim, rot))
+        def decode_tuple(h, ce, cz, di, ro):
+            return decode_one((h, ce, cz, di, ro))
+
+        boxes, scores, labels, valid = sparse.vmap_squeeze1(
+            decode_tuple, hm, center, center_z, dim, rot)
         return {
             "rois": boxes,
             "roi_scores": scores,

@@ -457,7 +457,7 @@ class VoxelRCNN(nn.Module):
             )
             return bb[idx], ts[idx], ll[idx], mask
 
-        rb, rs, rl, rv = jax.vmap(one)(boxes, best, labels)
+        rb, rs, rl, rv = sparse.vmap_squeeze1(one, boxes, best, labels)
         return {"rois": rb, "roi_scores": rs, "roi_labels": rl, "roi_valid": rv}
 
     # ---- losses ---------------------------------------------------------
@@ -536,7 +536,7 @@ class VoxelRCNN(nn.Module):
             )
             return b[idx], s[idx], l[idx], mask
 
-        fb, fs, fl, fv = jax.vmap(one)(boxes, scores, labels, valid)
+        fb, fs, fl, fv = sparse.vmap_squeeze1(one, boxes, scores, labels, valid)
         return {"pred_boxes": fb, "pred_scores": fs, "pred_labels": fl, "pred_valid": fv}
 
 

@@ -227,11 +227,16 @@ def lookup_bitmap(bm, queries, query_ok):
 
 
 def lookup_bitmap_rows(bm, queries, query_ok):
-    """lookup_bitmap for (P, V) tap-major queries: ONE grouped (P, V)-index
-    row gather (same rows as P per-tap gathers, one dispatch)."""
+    """lookup_bitmap for (P, V) tap-major queries: grouped (P, V)-index row
+    gathers (same rows as P per-tap gathers, chunked under the gather
+    fast-path budget)."""
     n_words = bm.shape[0]
     safe_q = jnp.where(query_ok, queries, 0)
-    pairs = bm[jnp.clip(safe_q >> 5, 0, n_words - 1)]  # (P, V, 3)
+    w = jnp.clip(safe_q >> 5, 0, n_words - 1)
+    pper = max(1, FLAT_GATHER_MAX_IDX // w.shape[1])
+    pairs = jnp.concatenate(
+        [bm[w[p0:p0 + pper]] for p0 in range(0, w.shape[0], pper)],
+        axis=0)  # (P, V, 3)
     row, hit = _bitmap_rank(pairs[..., 0], pairs[..., 1], safe_q & 31)
     found = query_ok & hit
     return jnp.where(found, row, 0).astype(jnp.int32), found
@@ -254,7 +259,14 @@ def lookup_bitmap_packed_taps(bm, base_cells, offsets_zyx, grid: GridSpec, query
         assert span <= 32, f"dx-run span {span} exceeds one next-word window"
         w0s.append(jnp.clip((base_cells + d0) >> 5, 0, n_words - 1))
     wstack = jnp.stack(w0s)  # (R, V)
-    rows_all = bm[wstack]  # ONE grouped gather: (R, V, 3) word/prefix/next
+    # grouped row fetch, CHUNKED under the gather fast-path budget (the
+    # ~2M-index cliff, FLAT_GATHER_MAX_IDX): R*V stays small for the conv
+    # rulebooks but the 135-tap RoI query windows exceed it
+    v = wstack.shape[1]
+    rper = max(1, FLAT_GATHER_MAX_IDX // v)
+    rows_all = jnp.concatenate(
+        [bm[wstack[r0:r0 + rper]] for r0 in range(0, wstack.shape[0], rper)],
+        axis=0)  # (R, V, 3) word/prefix/next
     rows = [None] * p
     hits = [None] * p
     for ri, (d0, run) in enumerate(runs):
@@ -1407,6 +1419,16 @@ def sparse_conv_apply_batched(features, rulebook: Rulebook, weights, bias=None,
 
 def _expand1(tree):
     return jax.tree_util.tree_map(lambda x: x[None], tree)
+
+
+def vmap_squeeze1(fn, *args):
+    """``jax.vmap(fn)(*args)`` that calls ``fn`` directly on squeezed
+    operands when the leading axis is 1: a leading batch dim of ONE alone
+    slows XLA's gather/scatter lowerings (scripts/exp_r4_squeeze.py), and
+    the batch-1 inference path is the throughput benchmark."""
+    if args[0].shape[0] == 1:
+        return _expand1(fn(*(a[0] for a in args)))
+    return jax.vmap(fn)(*args)
 
 
 def build_subm_rulebook_batched(keys, grid: GridSpec, kernel=(3, 3, 3), lut=None,

@@ -13,6 +13,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/exp_r4_squeeze.py
 """
 import argparse
 import time
+from functools import partial
 
 import numpy as np
 
@@ -128,6 +129,31 @@ def main():
                                   - np.asarray(ref, np.float32))))
         if err > 1e-2:
             print(f"  !! squeezed mismatch {err}")
+
+        # squeezed MODE sweep: which 2-D im2col form wins per stage?
+        def chain_mode(x, idx, found, valid, w, mode):
+            y = x[0]
+            for _ in range(args.chain):
+                g = sparse._gather_by_mode_2d(y, idx[0], found[0], mode)
+                if mode == "per-tap":  # (K, N, C)
+                    y = jax.lax.dot_general(
+                        g, w, dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                        preferred_element_type=dt)
+                else:
+                    y = jax.lax.dot_general(
+                        g, w, dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+                        preferred_element_type=dt)
+                y = jnp.where(valid[0][..., None], y, 0)
+            return y[None]
+
+        for mode in ("win-flat", "flat", "tap-g", "per-tap"):
+            got = bench(jax.jit(partial(chain_mode, mode=mode)),
+                        f"{label} sq {mode}",
+                        x, rb.idx, rb.found, rb.out_valid, w)
+            err = float(np.max(np.abs(np.asarray(got, np.float32)
+                                      - np.asarray(ref, np.float32))))
+            if err > 1e-2:
+                print(f"  !! sq {mode} mismatch {err}")
 
 
 if __name__ == "__main__":
