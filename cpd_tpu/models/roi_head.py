@@ -535,6 +535,27 @@ class VoxelRCNNProtoHead(nn.Module):
         reg0 = reg_loss_fn(out["rcnn_reg"])
         total = cls0 + reg0
         tb = {"rcnn_cls0": cls0, "rcnn_reg0": reg0}
+        # NaN forensics for the trainer's NaN-skip guard (reference parity:
+        # train_utils.py skips non-finite steps): locate which input of the
+        # reg loss went non-finite, weighted rows only
+        mrow = reg_mask > 0
+        tb["nonfinite_reg_targets"] = jnp.sum(
+            ~jnp.isfinite(reg_targets) & mrow[..., None])
+        tb["nonfinite_reg_pred"] = jnp.sum(
+            ~jnp.isfinite(out["rcnn_reg"]) & mrow[..., None])
+        tb["nonfinite_rois"] = jnp.sum(~jnp.isfinite(rois))
+        tb["nonfinite_gt_of_rois"] = jnp.sum(~jnp.isfinite(t["gt_of_rois"]))
+        tb["nonfinite_css"] = jnp.sum(~jnp.isfinite(css))
+        tb["nonfinite_reg_mask"] = jnp.sum(~jnp.isfinite(reg_mask))
+        tb["nonfinite_reg_targets_any"] = jnp.sum(~jnp.isfinite(reg_targets))
+        tb["nonfinite_smoothl1"] = jnp.sum(~jnp.isfinite(
+            loss_utils.weighted_smooth_l1_loss(out["rcnn_reg"], reg_targets,
+                                               reg_mask)))
+        _dec = decode_roi_boxes(rois, out["rcnn_reg"], self.coder)
+        tb["nonfinite_decoded"] = jnp.sum(~jnp.isfinite(_dec))
+        tb["nonfinite_corner"] = jnp.sum(~jnp.isfinite(jax.vmap(
+            loss_utils.corner_loss_lidar)(_dec, t["gt_of_rois"][..., :7],
+                                          reg_mask)))
 
         if "rcnn_cls_proto" in out:
             cls1 = cls_loss_fn(out["rcnn_cls_proto"])
@@ -558,11 +579,15 @@ class VoxelRCNNProtoHead(nn.Module):
             pred1_ct = self.coder.decode(out["rcnn_reg_proto"], local_anchor)
             fgf = t["reg_valid_mask"].astype(jnp.float32) * valid.astype(jnp.float32)
             denom = jnp.sum(fgf) + 1.0
-            b_loss0 = jnp.sum(
-                loss_utils.bb_loss(pred0_ct, gt_local) * css * fgf) / denom
-            b_loss1 = jnp.sum(
+            # inf-safe masking (see corner_loss_lidar): masked rows' decoded
+            # dims can exp-overflow; never multiply inf by a zero weight
+            b_loss0 = jnp.sum(jnp.where(
+                fgf > 0,
+                loss_utils.bb_loss(pred0_ct, gt_local) * css * fgf, 0.0)) / denom
+            b_loss1 = jnp.sum(jnp.where(
+                fgf > 0,
                 loss_utils.bb_loss(pred0_ct, jax.lax.stop_gradient(pred1_ct))
-                * css * fgf) / denom
+                * css * fgf, 0.0)) / denom
             # cosine mask = (cls_labels >= 0) * css (voxel_rcnn_head.py:448-451)
             # -- for the shipped 'roi_iou' label type labels are never < 0 so
             # this equals valid*css; 'cls'-type interval-band rois (-1) differ

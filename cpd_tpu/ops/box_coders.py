@@ -52,9 +52,15 @@ class ResidualCoder:
         xg = encodings[..., 0] * diag + anchors[..., 0]
         yg = encodings[..., 1] * diag + anchors[..., 1]
         zg = encodings[..., 2] * dza + anchors[..., 2]
-        dxg = jnp.exp(encodings[..., 3]) * dxa
-        dyg = jnp.exp(encodings[..., 4]) * dya
-        dzg = jnp.exp(encodings[..., 5]) * dza
+        # clamp the log-dim residuals before exp: masked/garbage rows (e.g.
+        # invalid rois under the static-shape loss masking) can carry huge
+        # residuals whose exp overflows to inf and NaN-contaminates any
+        # downstream masked sum. exp(20) ~ 4.9e8: no real residual is cut
+        # (torch.exp in the reference is equally unbounded but its dynamic
+        # boolean indexing never evaluates masked rows).
+        dxg = jnp.exp(jnp.clip(encodings[..., 3], -20.0, 20.0)) * dxa
+        dyg = jnp.exp(jnp.clip(encodings[..., 4], -20.0, 20.0)) * dya
+        dzg = jnp.exp(jnp.clip(encodings[..., 5], -20.0, 20.0)) * dza
         if self.encode_angle_by_sincos:
             # inverse of the component residuals (box_coder_utils.py:71-74)
             rg_cos = encodings[..., 6] + jnp.cos(anchors[..., 6])

@@ -105,7 +105,11 @@ def corner_loss_lidar(pred_boxes, gt_boxes, weights, beta: float = 1.0):
     d2 = safe_norm(pred_corners - gt_corners_flip)
     dist = jnp.minimum(d1, d2)  # (N, 8)
     loss = smooth_l1(dist, beta=beta)
-    return jnp.mean(loss, axis=-1) * weights
+    # inf-safe masking: static-shape losses compute EVERY row, including
+    # masked garbage rois whose decoded dims can exp-overflow to inf
+    # (the reference's dynamic boolean indexing never sees those rows);
+    # inf * 0 would contaminate the sum with NaN
+    return jnp.where(weights > 0, jnp.mean(loss, axis=-1) * weights, 0.0)
 
 
 def _axis_overlap_ratio(c1, d1, c2, d2):

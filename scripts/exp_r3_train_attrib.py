@@ -129,6 +129,14 @@ def main():
             print(f"{name:>22s}: {dt:6.2f} s/step  ({b / dt:.3f} f/s/chip; "
                   f"compile {compile_t:.0f}s, loss {float(tb['total_loss']):.2f})",
                   flush=True)
+            bad = {kk: float(np.asarray(vv)) for kk, vv in tb.items()
+                   if np.ndim(vv) == 0 and not np.isfinite(float(np.asarray(vv)))}
+            if bad:
+                print(f"{name:>22s}: NONFINITE terms {bad}", flush=True)
+            diags = {kk: float(np.asarray(vv)) for kk, vv in tb.items()
+                     if kk.startswith("nonfinite_")}
+            if any(diags.values()):
+                print(f"{name:>22s}: forensics {diags}", flush=True)
             del state, step
         except Exception:
             print(f"{name:>22s}: FAILED", flush=True)
