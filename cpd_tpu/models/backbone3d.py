@@ -101,7 +101,9 @@ def build_branch_rulebooks(keys, grid: GridSpec, caps, with_transpose: bool = Fa
     (scripts/exp_r4_books.py, v5e). Tiny configs (unit tests, the multichip
     dryrun) stay batched so their compiled op count is unchanged."""
     b, v_cap = keys.shape
-    if b > 1 and v_cap >= BOOKS_PER_SAMPLE_MIN_VOXELS:
+    if (b > 1 and v_cap >= BOOKS_PER_SAMPLE_MIN_VOXELS
+            and sparse.batch_unroll_allowed()):
+        sparse._note_unroll()
         outs = [
             build_branch_rulebooks(keys[i:i + 1], grid, caps, with_transpose,
                                    lut_max_cells, with_conv_out, dense_tail,

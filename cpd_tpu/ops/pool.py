@@ -21,6 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from . import sparse
 from .sparse import (GridSpec, INVALID_KEY, SENTINEL,
                      build_bitmap_lut, build_dense_lut, lookup, lookup_dense, lookup_dense_rows,
                      lookup_packed_taps as sparse_lookup_packed_taps,
@@ -52,9 +53,14 @@ def unrolled_vmap(fn, args, min_rows: int = None):
         min_rows = UNROLL_VMAP_MIN_ROWS
     b = args[0].shape[0]
     rows = args[0].shape[1] if args[0].ndim > 1 else 0
-    if rows >= min_rows:
-        # b == 1 also unrolls: dropping the vmap wrapper removes the leading
-        # batch dim of ONE, which alone slows gathers (exp_r4_squeeze.py)
+    # b == 1 also unrolls: dropping the vmap wrapper removes the leading
+    # batch dim of ONE, which alone slows gathers (exp_r4_squeeze.py). The
+    # b == 1 squeeze is always safe under a mesh (a size-1 axis cannot be
+    # sharded >1-way); b > 1 unrolls slice the sharded batch axis and are
+    # disabled under sparse.batch_unroll_disabled() (sharded trainer).
+    if rows >= min_rows and (b == 1 or sparse.batch_unroll_allowed()):
+        if b > 1:
+            sparse._note_unroll()
         slices = [fn(*(a[i] for a in args)) for i in range(b)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *slices)
     return jax.vmap(fn)(*args)

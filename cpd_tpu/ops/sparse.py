@@ -33,6 +33,7 @@ Design (TPU-first, nothing like spconv's hash-table CUDA implementation):
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 from typing import NamedTuple, Sequence, Tuple
 
@@ -1043,13 +1044,15 @@ def gather_rows_windowed(features, idx, found, flat=False):
     return sel.reshape(b, n, k, c)
 
 
-# grouped im2col gathers pack this many indices into one take_along_axis op
-# (the XLA gather fast path holds to ~2M indices; see FLAT_GATHER_MAX_IDX).
+# grouped im2col gathers pack this many indices into one take_along_axis op.
 # The im2col phase is DISPATCH-bound once the windowed/per-tap forms hold the
 # transaction count down: win issues K/3 ops and per-tap K ops per gather,
 # each op paying fixed dispatch latency. Packing G windows/taps per op keeps
-# the same bytes and rows but ~G-fold fewer ops. IMMUTABLE constant.
-GATHER_GROUP_BUDGET = 2_000_000
+# the same bytes and rows but ~G-fold fewer ops. Tied to FLAT_GATHER_MAX_IDX
+# (the repo's one conservative bound for the XLA gather fast-path cliff,
+# measured ~2M: 26 ms at 4M vs 3.8 at 2M indices) so the two "gather cliff"
+# constants cannot drift apart.
+GATHER_GROUP_BUDGET = FLAT_GATHER_MAX_IDX
 
 
 def gather_rows_windowed_grouped(features, idx, found,
@@ -1131,6 +1134,39 @@ def _im2col_mode(idx_size, c, win_run):
 # count -- and compile time -- is unchanged.
 PER_SAMPLE_GATHER_MIN_IDX = 200_000
 
+# Per-sample unrolls slice the GLOBAL batch axis at trace time. Under a
+# batch-sharded mesh (pjit data parallelism, parallel/trainer.py) every
+# x[i:i+1] slice crosses DP shard boundaries, so GSPMD must reshard or
+# replicate each per-sample build and the hot path can serialize across
+# devices -- the single-chip unroll win does NOT transfer. The batched
+# (vmapped) lowerings partition cleanly along the sharded batch axis, so
+# sharded tracing keeps them: the trainer enters ``batch_unroll_disabled()``
+# around the step body when a data mesh is active, and every b>1 unroll
+# gate (here, backbone3d.build_branch_rulebooks, pool.unrolled_vmap)
+# consults ``batch_unroll_allowed()`` at trace time. b==1 squeezes
+# (vmap_squeeze1) stay: a size-1 axis cannot be sharded >1-way.
+_BATCH_UNROLL_DISABLED = [0]
+_UNROLL_EVENTS = [0]  # per-sample unrolls taken at trace time (test hook)
+
+
+@contextmanager
+def batch_unroll_disabled():
+    """Disable b>1 per-sample unrolls for traces entered in this context
+    (used by the sharded trainer; the flag is read at TRACE time)."""
+    _BATCH_UNROLL_DISABLED[0] += 1
+    try:
+        yield
+    finally:
+        _BATCH_UNROLL_DISABLED[0] -= 1
+
+
+def batch_unroll_allowed() -> bool:
+    return _BATCH_UNROLL_DISABLED[0] == 0
+
+
+def _note_unroll():
+    _UNROLL_EVENTS[0] += 1
+
 
 def _win_gather_2d(features, idx, found, flat=False):
     """gather_rows_windowed on SQUEEZED (V, C) / (N, K) operands."""
@@ -1199,7 +1235,9 @@ def _gather_by_mode(features, idx, found, mode):
     PER_SAMPLE_GATHER_MIN_IDX, and single samples run on SQUEEZED 2-D
     operands (a leading batch dim of ONE alone costs 2-14%)."""
     b = features.shape[0]
-    if b > 1 and idx.size // b >= PER_SAMPLE_GATHER_MIN_IDX:
+    if (b > 1 and idx.size // b >= PER_SAMPLE_GATHER_MIN_IDX
+            and batch_unroll_allowed()):
+        _note_unroll()
         outs = [_gather_by_mode(features[i:i + 1], idx[i:i + 1],
                                 found[i:i + 1], mode) for i in range(b)]
         return jnp.concatenate(outs, axis=0)

@@ -125,9 +125,23 @@ def replicated(mesh: Mesh):
 
 def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
     """jitted train step; with a mesh, batch is sharded on 'data' and the
-    state replicated -- XLA derives the gradient all-reduce."""
+    state replicated -- XLA derives the gradient all-reduce.
+
+    With a mesh the b>1 per-sample unrolls are disabled at trace time
+    (sparse.batch_unroll_disabled): they slice the GLOBAL batch axis, so
+    under a batch-sharded pjit every x[i:i+1] crosses DP shard boundaries
+    and GSPMD would reshard/serialize the builds -- the batched lowerings
+    partition cleanly along 'data' instead (tests/test_parallel.py)."""
+    sharded = mesh is not None and mesh.size > 1
 
     def train_step(state: TrainState, batch, rng):
+        from contextlib import nullcontext
+
+        from ..ops import sparse
+        with sparse.batch_unroll_disabled() if sharded else nullcontext():
+            return _train_step_body(state, batch, rng)
+
+    def _train_step_body(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         r1, r2 = jax.random.split(step_rng)
 
@@ -173,12 +187,18 @@ def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None):
+    sharded = mesh is not None and mesh.size > 1
+
     def eval_step(state: TrainState, batch):
-        return state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
-            method=type(model).predict,
-        )
+        from contextlib import nullcontext
+
+        from ..ops import sparse
+        with sparse.batch_unroll_disabled() if sharded else nullcontext():
+            return state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch,
+                method=type(model).predict,
+            )
 
     if mesh is None:
         return jax.jit(eval_step)

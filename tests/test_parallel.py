@@ -113,3 +113,66 @@ def test_eval_step_sharded():
         preds = eval_step(state, batch)
     assert preds["pred_boxes"].shape[0] == 8
     assert np.all(np.isfinite(np.asarray(preds["pred_boxes"])))
+
+
+def test_sharded_trace_disables_per_sample_unrolls():
+    """ADVICE r4 (medium): b>1 per-sample unrolls slice the GLOBAL batch
+    axis, which crosses DP shard boundaries under pjit -- the sharded
+    trainer must trace with the BATCHED lowerings instead. Asserted via the
+    trace-time unroll counter on a probe model whose loss_step runs an
+    above-gate rulebook build (the full detector at gate scale would take
+    minutes to trace on CPU)."""
+    from flax import linen as nn
+
+    from cpd_tpu.models.backbone3d import (BOOKS_PER_SAMPLE_MIN_VOXELS,
+                                           build_branch_rulebooks)
+    from cpd_tpu.ops import sparse
+    from cpd_tpu.ops.sparse import GridSpec
+
+    grid = GridSpec(32, 32, 41)  # the _TINY ladder topology
+    # the gate checks static CAPACITY (keys.shape[1]), not occupancy: pad a
+    # small occupied set out to the gate so the trace stays cheap
+    v_cap = BOOKS_PER_SAMPLE_MIN_VOXELS
+
+    class Probe(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train=False):
+            return jnp.zeros(())
+
+        def loss_step(self, batch):
+            rbs = build_branch_rulebooks(batch["keys"], grid,
+                                         (512, 256, 128, 128))
+            loss = jnp.sum(rbs["down2"].out_valid.astype(jnp.float32))
+            return loss, {}
+
+    model = Probe()
+    rng = np.random.default_rng(0)
+
+    def make_keys(b):
+        keys = np.full((b, v_cap), np.iinfo(np.int32).max, np.int32)
+        occ = np.sort(rng.choice(32 * 32 * 40, size=400, replace=False))
+        keys[:, :400] = occ[None]
+        return jnp.asarray(keys)
+
+    batch = {"keys": make_keys(8)}
+    from cpd_tpu.parallel.trainer import TrainState
+    import optax
+
+    tx = optax.sgd(1e-3)
+    st = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                    batch_stats={}, opt_state=tx.init({}), tx=tx,
+                    apply_fn=model.apply)
+
+    # unsharded: the unroll gate fires (counter increases during trace)
+    sparse._UNROLL_EVENTS[0] = 0
+    step = make_train_step(model, mesh=None, donate=False)
+    jax.eval_shape(step, st, batch, jax.random.PRNGKey(0))
+    assert sparse._UNROLL_EVENTS[0] > 0
+
+    # sharded: the SAME scale traces with batched lowerings only
+    sparse._UNROLL_EVENTS[0] = 0
+    mesh = make_mesh(8)
+    step_sharded = make_train_step(model, mesh=mesh, donate=False)
+    with mesh:
+        jax.eval_shape(step_sharded, st, batch, jax.random.PRNGKey(0))
+    assert sparse._UNROLL_EVENTS[0] == 0
