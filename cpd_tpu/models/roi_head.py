@@ -30,6 +30,7 @@ from ..ops.box_coders import ResidualCoder
 from ..ops.geometry import limit_period, rotate_points_along_z
 from ..ops.iou3d import boxes_iou3d
 from ..utils import loss as loss_utils
+from .norm import MaskedBatchNorm
 
 
 # ----------------------------------------------------------------------------
@@ -344,19 +345,33 @@ class GridPoolBranch(nn.Module):
 
 
 class FCTower(nn.Module):
+    """Reference FC tower block (voxel_rcnn_head.py:68-163): per hidden
+    layer Linear(bias=False) + BatchNorm1d (torch defaults eps 1e-5,
+    momentum 0.1) + ReLU, Dropout after every non-final hidden layer when
+    DP_RATIO > 0, then an optional biased output Linear (cls/reg towers;
+    ``out_dim=None`` is the shared tower, which stops after the last ReLU).
+    BatchNorm runs MASKED over the valid roi rows (padding rois are a
+    static-shape artifact the reference never sees)."""
+
     hidden: Tuple[int, ...] = (256, 256)
-    out_dim: int = 1
+    out_dim: Optional[int] = 1
     dropout: float = 0.3
+    # hidden layers in bf16; the OUT projection stays f32 for prediction
+    # precision (its FLOPs are negligible). f32 in the torch-parity tests.
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, valid, train: bool):
         for i, h in enumerate(self.hidden):
-            # hidden layers in bf16; the OUT projection stays f32 for
-            # prediction precision (its FLOPs are negligible)
-            x = nn.Dense(h, dtype=jnp.bfloat16, name=f"fc{i}")(x)
+            x = nn.Dense(h, use_bias=False, dtype=self.compute_dtype,
+                         name=f"fc{i}")(x)
+            x = MaskedBatchNorm(momentum=0.1, epsilon=1e-5,
+                                name=f"bn{i}")(x, valid, train)
             x = nn.relu(x)
-            if self.dropout > 0 and i == 0:
+            if self.dropout > 0 and i < len(self.hidden) - 1:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.out_dim is None:
+            return x
         return nn.Dense(self.out_dim, name="out")(x.astype(jnp.float32))
 
 
@@ -393,6 +408,8 @@ class VoxelRCNNProtoHead(nn.Module):
     # LUT tuning (ROI_GRID_POOL.{USE_LUT, LUT_MAX_CELLS}); None = pool defaults
     pool_use_lut: Any = None
     pool_lut_max_cells: Any = None
+    # emit per-input non-finite counters from get_loss (debug only)
+    debug_forensics: bool = False
 
     def setup(self):
         self.coder = ResidualCoder(code_size=7)
@@ -403,8 +420,8 @@ class VoxelRCNNProtoHead(nn.Module):
             self.voxel_size, self.point_cloud_range, self.grid_size,
             scale_grids=self.scale_grids,
         )
-        self.shared0 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
-                                      nn.Dense(self.shared_fc[1]), nn.relu])
+        self.shared0 = FCTower(hidden=tuple(self.shared_fc), out_dim=None,
+                               dropout=self.dp_ratio)
         self.cls_tower0 = FCTower(out_dim=1, dropout=self.dp_ratio)
         self.reg_tower0 = FCTower(out_dim=7, dropout=self.dp_ratio)
         if self.mm:
@@ -412,8 +429,8 @@ class VoxelRCNNProtoHead(nn.Module):
                 self.voxel_size, self.point_cloud_range, self.grid_size,
                 scale_grids=self.scale_grids,
             )
-            self.shared1 = nn.Sequential([nn.Dense(self.shared_fc[0]), nn.relu,
-                                          nn.Dense(self.shared_fc[1]), nn.relu])
+            self.shared1 = FCTower(hidden=tuple(self.shared_fc), out_dim=None,
+                                   dropout=self.dp_ratio)
             self.cls_tower1 = FCTower(out_dim=1, dropout=self.dp_ratio)
             self.reg_tower1 = FCTower(out_dim=7, dropout=self.dp_ratio)
 
@@ -466,9 +483,9 @@ class VoxelRCNNProtoHead(nn.Module):
                                   lut_max_cells=self.pool_lut_max_cells,
                                   stage_luts=stage_luts)
         pooled0 = self.pool_branch(rois, scale_features, q0, "")
-        shared0 = self.shared0(pooled0)
-        rcnn_cls = self.cls_tower0(shared0, train)[..., 0]
-        rcnn_reg = self.reg_tower0(shared0, train)
+        shared0 = self.shared0(pooled0, roi_valid, train)
+        rcnn_cls = self.cls_tower0(shared0, roi_valid, train)[..., 0]
+        rcnn_reg = self.reg_tower0(shared0, roi_valid, train)
         out = {
             "rcnn_cls": rcnn_cls,
             "rcnn_reg": rcnn_reg,
@@ -488,9 +505,9 @@ class VoxelRCNNProtoHead(nn.Module):
                                       lut_max_cells=self.pool_lut_max_cells,
                                       stage_luts=stage_luts)
             pooled1 = self.pool_branch_mm(rois, scale_features, q1, "_mm")
-            shared1 = self.shared1(pooled1)
-            out["rcnn_cls_proto"] = self.cls_tower1(shared1, train)[..., 0]
-            out["rcnn_reg_proto"] = self.reg_tower1(shared1, train)
+            shared1 = self.shared1(pooled1, roi_valid, train)
+            out["rcnn_cls_proto"] = self.cls_tower1(shared1, roi_valid, train)[..., 0]
+            out["rcnn_reg_proto"] = self.reg_tower1(shared1, roi_valid, train)
             out["shared_features1"] = shared1
         if not train:
             out["batch_box_preds"] = decode_roi_boxes(rois, rcnn_reg, self.coder)
@@ -535,27 +552,30 @@ class VoxelRCNNProtoHead(nn.Module):
         reg0 = reg_loss_fn(out["rcnn_reg"])
         total = cls0 + reg0
         tb = {"rcnn_cls0": cls0, "rcnn_reg0": reg0}
-        # NaN forensics for the trainer's NaN-skip guard (reference parity:
-        # train_utils.py skips non-finite steps): locate which input of the
-        # reg loss went non-finite, weighted rows only
-        mrow = reg_mask > 0
-        tb["nonfinite_reg_targets"] = jnp.sum(
-            ~jnp.isfinite(reg_targets) & mrow[..., None])
-        tb["nonfinite_reg_pred"] = jnp.sum(
-            ~jnp.isfinite(out["rcnn_reg"]) & mrow[..., None])
-        tb["nonfinite_rois"] = jnp.sum(~jnp.isfinite(rois))
-        tb["nonfinite_gt_of_rois"] = jnp.sum(~jnp.isfinite(t["gt_of_rois"]))
-        tb["nonfinite_css"] = jnp.sum(~jnp.isfinite(css))
-        tb["nonfinite_reg_mask"] = jnp.sum(~jnp.isfinite(reg_mask))
-        tb["nonfinite_reg_targets_any"] = jnp.sum(~jnp.isfinite(reg_targets))
-        tb["nonfinite_smoothl1"] = jnp.sum(~jnp.isfinite(
-            loss_utils.weighted_smooth_l1_loss(out["rcnn_reg"], reg_targets,
-                                               reg_mask)))
-        _dec = decode_roi_boxes(rois, out["rcnn_reg"], self.coder)
-        tb["nonfinite_decoded"] = jnp.sum(~jnp.isfinite(_dec))
-        tb["nonfinite_corner"] = jnp.sum(~jnp.isfinite(jax.vmap(
-            loss_utils.corner_loss_lidar)(_dec, t["gt_of_rois"][..., :7],
-                                          reg_mask)))
+        if self.debug_forensics:
+            # NaN forensics (debug scaffolding, off by default): locate which
+            # input of the reg loss went non-finite so the trainer's OWN
+            # NaN-skip guard (trainer.py -- the reference has no such guard,
+            # train_utils.py:41-45 never checks) can be attributed. Used by
+            # scripts/exp_r4_nan.py / exp_r5_nan.py.
+            mrow = reg_mask > 0
+            tb["nonfinite_reg_targets"] = jnp.sum(
+                ~jnp.isfinite(reg_targets) & mrow[..., None])
+            tb["nonfinite_reg_pred"] = jnp.sum(
+                ~jnp.isfinite(out["rcnn_reg"]) & mrow[..., None])
+            tb["nonfinite_rois"] = jnp.sum(~jnp.isfinite(rois))
+            tb["nonfinite_gt_of_rois"] = jnp.sum(~jnp.isfinite(t["gt_of_rois"]))
+            tb["nonfinite_css"] = jnp.sum(~jnp.isfinite(css))
+            tb["nonfinite_reg_mask"] = jnp.sum(~jnp.isfinite(reg_mask))
+            tb["nonfinite_reg_targets_any"] = jnp.sum(~jnp.isfinite(reg_targets))
+            tb["nonfinite_smoothl1"] = jnp.sum(~jnp.isfinite(
+                loss_utils.weighted_smooth_l1_loss(out["rcnn_reg"], reg_targets,
+                                                   reg_mask)))
+            _dec = decode_roi_boxes(rois, out["rcnn_reg"], self.coder)
+            tb["nonfinite_decoded"] = jnp.sum(~jnp.isfinite(_dec))
+            tb["nonfinite_corner"] = jnp.sum(~jnp.isfinite(jax.vmap(
+                loss_utils.corner_loss_lidar)(_dec, t["gt_of_rois"][..., :7],
+                                              reg_mask)))
 
         if "rcnn_cls_proto" in out:
             cls1 = cls_loss_fn(out["rcnn_cls_proto"])
@@ -579,14 +599,18 @@ class VoxelRCNNProtoHead(nn.Module):
             pred1_ct = self.coder.decode(out["rcnn_reg_proto"], local_anchor)
             fgf = t["reg_valid_mask"].astype(jnp.float32) * valid.astype(jnp.float32)
             denom = jnp.sum(fgf) + 1.0
-            # inf-safe masking (see corner_loss_lidar): masked rows' decoded
-            # dims can exp-overflow; never multiply inf by a zero weight
+            # double-where (see loss.sanitize_boxes): masked rows' decoded
+            # dims can exp-overflow to inf; sanitize the INPUTS so both the
+            # forward sum and the VJP stay finite, then mask the output
+            p0 = loss_utils.sanitize_boxes(pred0_ct, fgf)
+            g0 = loss_utils.sanitize_boxes(gt_local, fgf)
+            p1 = loss_utils.sanitize_boxes(pred1_ct, fgf)
             b_loss0 = jnp.sum(jnp.where(
                 fgf > 0,
-                loss_utils.bb_loss(pred0_ct, gt_local) * css * fgf, 0.0)) / denom
+                loss_utils.bb_loss(p0, g0) * css * fgf, 0.0)) / denom
             b_loss1 = jnp.sum(jnp.where(
                 fgf > 0,
-                loss_utils.bb_loss(pred0_ct, jax.lax.stop_gradient(pred1_ct))
+                loss_utils.bb_loss(p0, jax.lax.stop_gradient(p1))
                 * css * fgf, 0.0)) / denom
             # cosine mask = (cls_labels >= 0) * css (voxel_rcnn_head.py:448-451)
             # -- for the shipped 'roi_iou' label type labels are never < 0 so

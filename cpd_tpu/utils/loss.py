@@ -94,9 +94,28 @@ def reg_loss_centernet(pred_map, targets, inds, mask):
     return jnp.sum(loss, axis=(0, 1)) / jnp.clip(jnp.sum(m), min=1.0)
 
 
+def sanitize_boxes(boxes, valid):
+    """Replace masked box rows with a finite unit box at the origin.
+
+    Static-shape losses compute EVERY row, including masked garbage rois
+    whose decoded dims can exp-overflow to inf (the reference's dynamic
+    boolean indexing never sees those rows). Masking the OUTPUT alone is
+    not enough: under autodiff an inf primal in the masked branch still
+    yields NaN cotangents (0-cotangent x inf-tangent in the VJP), so the
+    inputs themselves must be finite on masked rows -- the double-where
+    pattern. ``valid`` broadcasts against ``boxes[..., 0]``."""
+    unit = jnp.zeros_like(boxes).at[..., 3:6].set(1.0)
+    return jnp.where((valid > 0)[..., None], boxes, unit)
+
+
 def corner_loss_lidar(pred_boxes, gt_boxes, weights, beta: float = 1.0):
     """Huber loss over the 8 box corners, min over gt heading flip
     (loss_utils.py:210). pred/gt: (N, 7); weights: (N,). Returns (N,)."""
+    # double-where: masked rows run on finite unit boxes (loss exactly 0
+    # there) so both the forward sum and the VJP stay finite regardless of
+    # what garbage the masked rows carry (see sanitize_boxes)
+    pred_boxes = sanitize_boxes(pred_boxes, weights)
+    gt_boxes = sanitize_boxes(gt_boxes, weights)
     pred_corners = boxes_to_corners_3d(pred_boxes)
     gt_corners = boxes_to_corners_3d(gt_boxes)
     gt_flip = gt_boxes.at[:, 6].add(jnp.pi)
@@ -105,10 +124,6 @@ def corner_loss_lidar(pred_boxes, gt_boxes, weights, beta: float = 1.0):
     d2 = safe_norm(pred_corners - gt_corners_flip)
     dist = jnp.minimum(d1, d2)  # (N, 8)
     loss = smooth_l1(dist, beta=beta)
-    # inf-safe masking: static-shape losses compute EVERY row, including
-    # masked garbage rois whose decoded dims can exp-overflow to inf
-    # (the reference's dynamic boolean indexing never sees those rows);
-    # inf * 0 would contaminate the sum with NaN
     return jnp.where(weights > 0, jnp.mean(loss, axis=-1) * weights, 0.0)
 
 
