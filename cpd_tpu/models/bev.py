@@ -40,6 +40,10 @@ class ConvBNReLU(nn.Module):
     # bf16 compute matches the 3D backbone's activation dtype and runs the
     # 188x188 dense convs ~2x faster on the MXU; BN statistics stay f32
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
+    # the reference BEV BNs are BatchNorm2d(eps=1e-3, momentum=0.01)
+    # (base_bev_backbone.py:38,44), NOT torch defaults
+    bn_momentum: float = 0.01
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -51,7 +55,8 @@ class ConvBNReLU(nn.Module):
             use_bias=self.use_bias,
             dtype=self.compute_dtype,
         )(x)
-        x = BatchNorm2d(axis_name=self.bn_axis_name)(x, train)
+        x = BatchNorm2d(momentum=self.bn_momentum, epsilon=self.bn_eps,
+                        axis_name=self.bn_axis_name)(x, train)
         return nn.relu(x)
 
 
@@ -68,23 +73,30 @@ class BaseBEVBackbone(nn.Module):
     upsample_strides: Tuple[int, ...] = (1, 2)
     num_upsample_filters: Tuple[int, ...] = (256, 256)
     bn_axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
         ups = []
         for i, (n, s, f) in enumerate(zip(self.layer_nums, self.layer_strides, self.num_filters)):
-            x = ConvBNReLU(f, 3, s, self.bn_axis_name, name=f"block{i}_in")(x, train)
+            x = ConvBNReLU(f, 3, s, self.bn_axis_name,
+                           compute_dtype=self.compute_dtype,
+                           name=f"block{i}_in")(x, train)
             for j in range(n):
-                x = ConvBNReLU(f, 3, 1, self.bn_axis_name, name=f"block{i}_conv{j}")(x, train)
+                x = ConvBNReLU(f, 3, 1, self.bn_axis_name,
+                               compute_dtype=self.compute_dtype,
+                               name=f"block{i}_conv{j}")(x, train)
             us = self.upsample_strides[i]
             uf = self.num_upsample_filters[i]
             if us > 1:
                 u = nn.ConvTranspose(uf, (us, us), strides=(us, us), use_bias=False,
-                                     dtype=jnp.bfloat16, name=f"deblock{i}")(x)
+                                     dtype=self.compute_dtype, name=f"deblock{i}")(x)
             else:
-                u = nn.Conv(uf, (1, 1), use_bias=False, dtype=jnp.bfloat16,
+                u = nn.Conv(uf, (1, 1), use_bias=False, dtype=self.compute_dtype,
                             name=f"deblock{i}")(x)
-            u = BatchNorm2d(axis_name=self.bn_axis_name, name=f"deblock{i}_bn")(u, train)
+            u = BatchNorm2d(momentum=0.01, epsilon=1e-3,
+                            axis_name=self.bn_axis_name,
+                            name=f"deblock{i}_bn")(u, train)
             ups.append(nn.relu(u))
         if len(ups) > 1:
             return jnp.concatenate(ups, axis=-1)

@@ -13,7 +13,7 @@ XLA folds into the convolutions.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,14 +31,15 @@ class SeparateHead(nn.Module):
     num_conv: int = 2
     init_bias: float = 0.0
     bn_axis_name: Optional[str] = None
+    # hidden convs in bf16 (matches the BEV stack); the OUT conv stays
+    # f32 for prediction-map precision (its FLOPs are negligible)
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.num_conv - 1):
-            # hidden convs in bf16 (matches the BEV stack); the OUT conv stays
-            # f32 for prediction-map precision (its FLOPs are negligible)
             x = nn.Conv(self.head_channels, (3, 3), padding="SAME", use_bias=True,
-                        dtype=jnp.bfloat16, name=f"conv{i}")(x)
+                        dtype=self.compute_dtype, name=f"conv{i}")(x)
             x = BatchNorm2d(axis_name=self.bn_axis_name, name=f"bn{i}")(x, train)
             x = nn.relu(x)
         x = nn.Conv(
@@ -64,24 +65,26 @@ class CenterHead(nn.Module):
     loc_weight: float = 2.0
     code_weights: Tuple[float, ...] = (1.0,) * 8
     bn_axis_name: Optional[str] = None
+    compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, bev_features, train: bool):
         """bev_features: (B, H, W, C) -> dict of NHWC prediction maps."""
         x = nn.Conv(self.shared_conv_channel, (3, 3), padding="SAME", use_bias=True,
-                    dtype=jnp.bfloat16, name="shared_conv")(bev_features)
+                    dtype=self.compute_dtype, name="shared_conv")(bev_features)
         x = BatchNorm2d(axis_name=self.bn_axis_name, name="shared_bn")(x, train)
         x = nn.relu(x)
         preds = {
             "hm": SeparateHead(
                 self.shared_conv_channel, self.num_classes, self.num_hm_conv,
-                init_bias=-2.19, bn_axis_name=self.bn_axis_name, name="head_hm",
+                init_bias=-2.19, bn_axis_name=self.bn_axis_name,
+                compute_dtype=self.compute_dtype, name="head_hm",
             )(x, train)
         }
         for name, dim in zip(self.head_order, self.head_dims):
             preds[name] = SeparateHead(
                 self.shared_conv_channel, dim, 2, bn_axis_name=self.bn_axis_name,
-                name=f"head_{name}",
+                compute_dtype=self.compute_dtype, name=f"head_{name}",
             )(x, train)
         return preds
 

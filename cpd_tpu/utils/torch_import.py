@@ -44,6 +44,19 @@ def convert_conv2d_weight(w: np.ndarray) -> np.ndarray:
     return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
+def convert_convtranspose2d_weight(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> flax ConvTranspose
+    (kh, kw, Cin, Cout) with the spatial taps FLIPPED: torch computes the
+    conv adjoint (correlation with the flipped kernel) while flax's
+    ConvTranspose applies the kernel unflipped. Verified exact against
+    torch in tests/test_torch_import_reference.py. Also correct for the
+    reference's stride-1 deblock (ConvTranspose2d kernel 1,
+    base_bev_backbone.py:52-60) grafted onto our 1x1 nn.Conv: at k=1 the
+    flip is a no-op and both reduce to x @ w[cin, cout]."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1])
+
+
 def convert_linear_weight(w: np.ndarray) -> np.ndarray:
     return np.transpose(np.asarray(w), (1, 0))
 
@@ -120,18 +133,23 @@ def reference_key_rules() -> List[Tuple[str, callable]]:
     def bev_block(m):
         blk = int(m.group("blk"))
         layer = int(m.group("layer"))
-        # reference Sequential: [ZeroPad, Conv, BN, ReLU] then (Conv, BN, ReLU)*
-        # layer indices: 1=conv0, 2=bn0, then 4+3i=conv, 5+3i=bn
+        # reference Sequential (base_bev_backbone.py:32-47):
+        # [ZeroPad(0), Conv(1), BN(2), ReLU(3)] then per inner layer i:
+        # Conv at 4+3i, BN at 5+3i, ReLU at 6+3i. (Validated against the
+        # reference module's own state dict in
+        # tests/test_torch_import_reference.py.)
         if layer == 1:
             name = f"block{blk}_in"
             kind = "conv2d"
         elif layer == 2:
             name = f"block{blk}_in"
             kind = "bn2d"
+        elif (layer - 4) % 3 == 0:
+            kind = "conv2d"
+            name = f"block{blk}_conv{(layer - 4) // 3}"
         else:
-            i = (layer - 3) // 3
-            kind = "conv2d" if (layer - 3) % 3 == 0 else "bn2d"
-            name = f"block{blk}_conv{i}"
+            kind = "bn2d"
+            name = f"block{blk}_conv{(layer - 5) // 3}"
         base = ("bev_backbone", name)
         if kind == "conv2d":
             return [("conv2d", base + ("Conv_0", "kernel"))]
@@ -144,7 +162,10 @@ def reference_key_rules() -> List[Tuple[str, callable]]:
         layer = int(m.group("layer"))
         base = ("bev_backbone", f"deblock{blk}")
         if layer == 0:
-            return [("conv2d", base + ("kernel",))]
+            # the reference deblocks are ConvTranspose2d for every
+            # UPSAMPLE_STRIDE >= 1 (base_bev_backbone.py:50-60) -- weight
+            # layout (Cin, Cout, kh, kw), NOT Conv2d's (Cout, Cin, kh, kw)
+            return [("convt2d", base + ("kernel",))]
         return _bn2d(("bev_backbone", f"deblock{blk}_bn"), m.group("p"))
 
     add(r"backbone_2d\.deblocks\.(?P<blk>\d)\.(?P<layer>\d+)\.(?P<p>.+)", bev_deblock)
@@ -152,27 +173,71 @@ def reference_key_rules() -> List[Tuple[str, callable]]:
     # --- center head ---------------------------------------------------------
     def ch_shared(m):
         if m.group("t") == "0":
-            return [("conv2d", ("dense_head", "shared_conv", "kernel")),
-                    ("conv2d_bias", ("dense_head", "shared_conv", "bias"))]
+            if m.group("p") == "weight":
+                return [("conv2d", ("dense_head", "shared_conv", "kernel"))]
+            if m.group("p") == "bias":
+                return [("conv2d_bias", ("dense_head", "shared_conv", "bias"))]
+            return []
         return _bn2d(("dense_head", "shared_bn"), m.group("p"))
 
     add(r"dense_head\.shared_conv\.(?P<t>\d)\.(?P<p>.+)", ch_shared)
 
     def ch_head(m):
         head = m.group("head")
-        layer = int(m.group("layer"))
+        blk = int(m.group("blk"))
+        sub = m.group("sub")
         base = ("dense_head", f"head_{head}")
-        # SeparateHead branch Sequential: (Conv, BN, ReLU)* + final Conv
-        if m.group("final"):
-            return [("conv2d", base + ("out", "kernel")),
-                    ("conv2d_bias", base + ("out", "bias"))]
-        if layer % 3 == 0:
-            return [("conv2d", base + (f"conv{layer // 3}", "kernel")),
-                    ("conv2d_bias", base + (f"conv{layer // 3}", "bias"))]
-        return _bn2d(base + (f"bn{layer // 3}",), m.group("p"))
+        # SeparateHead branch (center_head.py:20-28): fc_list of NESTED
+        # Sequential(Conv, BN, ReLU) blocks at indices 0..num_conv-2, then
+        # the final Conv (UNnested) at index num_conv-1 -- so final-conv
+        # keys have NO sub-index. (Validated against the reference module's
+        # own state dict in tests/test_torch_import_reference.py.)
+        p = m.group("p")
+        if sub is None:
+            name = "out"
+        elif sub == "0":
+            name = f"conv{blk}"
+        else:
+            return _bn2d(base + (f"bn{blk}",), p)
+        if p == "weight":
+            return [("conv2d", base + (name, "kernel"))]
+        if p == "bias":
+            return [("conv2d_bias", base + (name, "bias"))]
+        return []
 
     add(r"dense_head\.heads_list\.\d\.(?P<head>hm|center|center_z|dim|rot)\."
-        r"(?:(?P<final>2)|(?P<layer>\d+))\.(?:\d\.)?(?P<p>.+)", ch_head)
+        r"(?P<blk>\d+)(?:\.(?P<sub>\d+))?\.(?P<p>[a-z_]+)", ch_head)
+
+    # --- RoI FC towers -------------------------------------------------------
+    # Reference Sequential layout (voxel_rcnn_head.py:68-163, DP_RATIO > 0 --
+    # the shipped CPD config family): each hidden layer occupies 4 indices
+    # [Linear(bias=False), BatchNorm1d, ReLU, Dropout] except the LAST hidden
+    # layer (3: no dropout), so the trailing biased Linear of the cls/reg
+    # towers lands at index 4*(K-1)+3, i.e. i % 4 == 3. Hidden Linears are
+    # bias-free, so every parameter key is classified by (i % 4, leaf name).
+    _ROI_TOWERS = {
+        "shared_fc_layers": "shared0", "shared_fc_layers_mm": "shared1",
+        "cls_layers": "cls_tower0", "cls_layers_P": "cls_tower1",
+        "reg_layers": "reg_tower0", "reg_layers_P": "reg_tower1",
+    }
+
+    def roi_tower(m):
+        base = ("roi_head", _ROI_TOWERS[m.group("seq")])
+        i = int(m.group("i"))
+        p = m.group("p")
+        r = i % 4
+        if r == 0 and p == "weight":
+            return [("linear", base + (f"fc{i // 4}", "kernel"))]
+        if r == 1:
+            return _bn_generic(base + (f"bn{i // 4}",), p)
+        if r == 3 and p == "weight":
+            return [("linear", base + ("out", "kernel"))]
+        if r == 3 and p == "bias":
+            return [("raw", base + ("out", "bias"))]
+        return []
+
+    add(r"roi_head\.(?P<seq>shared_fc_layers(?:_mm)?|cls_layers(?:_P)?|"
+        r"reg_layers(?:_P)?)\.(?P<i>\d+)\.(?P<p>.+)", roi_tower)
 
     return rules
 
@@ -226,7 +291,13 @@ def convert_reference_state_dict(state_dict: Dict[str, np.ndarray], params, batc
         node[path[-1]] = value.astype(target.dtype)
         return True
 
+    ignored = []
     for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            # torch BN step counters; no flax equivalent (our BNs use fixed
+            # momentum, matching the reference's momentum=0.01/0.1 configs)
+            ignored.append(key)
+            continue
         val = np.asarray(val)
         hit = False
         for pattern, fn in rules:
@@ -247,6 +318,9 @@ def convert_reference_state_dict(state_dict: Dict[str, np.ndarray], params, batc
                     hit |= set_path(params, path, v)
                 elif kind == "conv2d":
                     hit |= set_path(params, path, convert_conv2d_weight(val))
+                elif kind == "convt2d":
+                    hit |= set_path(params, path,
+                                    convert_convtranspose2d_weight(val))
                 elif kind == "conv2d_bias" and key.endswith("bias"):
                     hit |= set_path(params, path, val)
                 elif kind == "linear":
@@ -258,5 +332,6 @@ def convert_reference_state_dict(state_dict: Dict[str, np.ndarray], params, batc
             if hit:
                 break
         (matched if hit else missed).append(key)
-    report = {"matched": matched, "missed": missed, "shape_errors": shape_errors}
+    report = {"matched": matched, "missed": missed,
+              "shape_errors": shape_errors, "ignored": ignored}
     return params, batch_stats, report
