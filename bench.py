@@ -78,11 +78,15 @@ def main():
         "points": jnp.asarray(pts),
         "points_valid": jnp.ones((b, p), bool),
     }
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+    # jitted init: eager flax init dispatches thousands of ops one by one
+    # over the axon tunnel (~minutes at batch 1, tens of minutes with the
+    # batch>1 per-sample-unrolled builders); one compiled program is minutes
+    # faster even counting its compile
+    variables = jax.jit(lambda r: model.init(
+        {"params": r, "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
         batch, False,
-    )
+    ))(jax.random.PRNGKey(0))
     predict = jax.jit(lambda v, x: model.apply(v, x, method=VoxelRCNN.predict))
 
     def sync(o):
