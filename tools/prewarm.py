@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg_file", required=True)
-    p.add_argument("--set", dest="set_cfgs", nargs="...", default=None)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=None)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--points", type=int, default=200_000,
                    help="per-frame point cap (match the dataset processor)")
