@@ -81,11 +81,15 @@ def main():
     # jitted init: eager flax init dispatches thousands of ops one by one
     # over the axon tunnel (~minutes at batch 1, tens of minutes with the
     # batch>1 per-sample-unrolled builders); one compiled program is minutes
-    # faster even counting its compile
+    # faster even counting its compile. Init on a BATCH-1 slice: parameter
+    # shapes depend only on channels, so every --batch variant shares one
+    # cached init program.
+    init_batch = {"points": batch["points"][:1],
+                  "points_valid": batch["points_valid"][:1]}
     variables = jax.jit(lambda r: model.init(
         {"params": r, "sampling": jax.random.PRNGKey(1),
          "dropout": jax.random.PRNGKey(2)},
-        batch, False,
+        init_batch, False,
     ))(jax.random.PRNGKey(0))
     predict = jax.jit(lambda v, x: model.apply(v, x, method=VoxelRCNN.predict))
 
