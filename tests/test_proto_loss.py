@@ -131,3 +131,49 @@ def test_proto_cosine_mask_ignores_negative_cls_labels():
     cls_ok = (np.asarray(t["cls_labels"]) >= 0.0).astype(np.float32)
     right = -(cos * valid * cls_ok * css).sum() / max((valid * cls_ok * css).sum(), 1.0)
     assert abs(wrong - right) > 1e-6
+
+
+def test_masked_garbage_rows_keep_loss_and_grads_finite():
+    """Regression for the r4 rng-dependent NaN (VERDICT r4 weak #3): a
+    masked roi row whose decode exp-overflowed to inf used to NaN the loss
+    -- and, after the forward was masked, still NaN'd the GRADIENTS
+    (0-cotangent x inf-tangent in the VJP). The double-where sanitization
+    (loss.sanitize_boxes) must make both directions finite with NO reliance
+    on the decode clamp."""
+    inf = np.float32(np.inf)
+    # row 0 valid, rows 1-2 masked garbage (inf dims / nan center)
+    pred = jnp.asarray(np.array([
+        [1.0, 2.0, 0.5, 4.0, 2.0, 1.5, 0.3],
+        [0.0, 0.0, 0.0, inf, inf, inf, 0.0],
+        [np.nan, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0],
+    ], np.float32))
+    gt = jnp.asarray(np.array([
+        [1.2, 2.1, 0.4, 4.1, 2.0, 1.5, 0.25],
+        [0.0, 0.0, 0.0, -inf, 1.0, 1.0, 0.0],
+        [0.0, np.nan, 0.0, 1.0, 1.0, 1.0, 0.0],
+    ], np.float32))
+    w = jnp.asarray(np.array([1.0, 0.0, 0.0], np.float32))
+
+    def corner_sum(p):
+        return jnp.sum(loss_utils.corner_loss_lidar(p, gt, w))
+
+    val, grad = jax.value_and_grad(corner_sum)(pred)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad))), grad
+
+    def bb_sum(p):
+        ps = loss_utils.sanitize_boxes(p, w)
+        gs = loss_utils.sanitize_boxes(gt, w)
+        return jnp.sum(jnp.where(w > 0, loss_utils.bb_loss(ps, gs) * w, 0.0))
+
+    val2, grad2 = jax.value_and_grad(bb_sum)(pred)
+    assert np.isfinite(float(val2))
+    assert np.all(np.isfinite(np.asarray(grad2))), grad2
+
+    # the OLD single-where pattern is NOT backward-safe on this input --
+    # keep a canary so the test fails meaningfully if jax semantics change
+    def bb_sum_unsafe(p):
+        return jnp.sum(jnp.where(w > 0, loss_utils.bb_loss(p, gt) * w, 0.0))
+
+    _, grad3 = jax.value_and_grad(bb_sum_unsafe)(pred)
+    assert not np.all(np.isfinite(np.asarray(grad3)))
