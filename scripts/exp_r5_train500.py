@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--pool", type=int, default=8,
                     help="distinct synthetic batches cycled over")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="graft-entry _TINY config (CPU-feasible fallback "
+                         "evidence when the chip is unavailable)")
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
 
@@ -66,15 +69,26 @@ def main():
                 r.integers(0, 50, (b, n_gt)).astype(np.int32)),
         }
 
-    pool = [make_batch(s) for s in range(args.pool)]
-    model = VoxelRCNN(
-        num_classes=3,
-        point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
-        voxel_size=(0.1, 0.1, 0.15),
-        max_voxels=90_000,
-        backbone_caps=(80_000, 48_000, 24_000, 20_000),
-        mm=True, remat=False,
-    )
+    if args.tiny:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __graft_entry__ as g
+
+        pool = [g._make_batch(b=args.batch, p=2048, seed=s)
+                for s in range(args.pool)]
+        model = VoxelRCNN(**{**g._TINY, "mm": True})
+    else:
+        pool = [make_batch(s) for s in range(args.pool)]
+        model = VoxelRCNN(
+            num_classes=3,
+            point_cloud_range=(-75.2, -75.2, -2.0, 75.2, 75.2, 4.0),
+            voxel_size=(0.1, 0.1, 0.15),
+            max_voxels=90_000,
+            backbone_caps=(80_000, 48_000, 24_000, 20_000),
+            mm=True, remat=False,
+        )
     # the reference schedule: adam_onecycle, LR 0.003, clip 32
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003,
                           "GRAD_NORM_CLIP": 32}, args.steps)
