@@ -16,11 +16,15 @@ Frames: lidar-realistic synthetic (cpd_tpu/utils/synthetic.py -- BEAM-
 STRUCTURED returns: ground rings per downward beam, az x elev surface
 patches; ~60-66k occupied stage-0 voxels from 200k points, matching real
 Waymo occupancy at (0.1, 0.1, 0.15) voxels).
-Batch: default 1. Measured (round 2): batching does NOT amortize -- the
-pipeline is gather/scatter-throughput bound, not dispatch bound (batch-4
-rulebooks 560 ms = 3.9x batch-1, backbone worse per frame, and 4x 150k-voxel
-frames pressure 16G HBM to the point of worker crashes). ``--batch`` remains
-for experiments.
+Batch: default 1. RE-MEASURED round 5 (2026-08-21, v5e, with the round-4
+per-sample-unrolled gather lowerings and the audited 90k caps — both of
+which postdate the original round-2 finding): frames/s/chip = 8.15 (b=1)
+vs 7.05 (b=2) vs 6.82 (b=4). Batching still does NOT amortize: the
+per-sample unroll makes b=N literally N sequential frame pipelines in one
+program, XLA does not overlap them (the phases contend for the same HBM
+path), and the extra live activations only add pressure. Batch 1 is the
+per-chip operating point; scale-out is data-parallel across chips.
+``--batch`` remains for experiments.
 
 Caps: sized from the MEASURED stage occupancy of the beam-structured frames
 (scripts/exp_r2g_occupancy.py, 6-seed max: stage0 66.2k, down2 60.3k,
