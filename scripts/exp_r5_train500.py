@@ -93,7 +93,29 @@ def main():
     tx = build_optimizer({"OPTIMIZER": "adam_onecycle", "LR": 0.003,
                           "GRAD_NORM_CLIP": 32}, args.steps)
     t0 = time.time()
-    state = init_state(model, pool[0], tx, rng=jax.random.PRNGKey(0))
+    # jitted init on a batch-1 slice: eager flax init dispatches thousands
+    # of ops over the axon tunnel (bench.py learned this the hard way);
+    # param shapes depend only on channels, not batch.
+    from cpd_tpu.parallel.trainer import TrainState
+
+    init_batch = {k: v[:1] for k, v in pool[0].items()}
+    variables = jax.jit(lambda r: model.init(
+        {"params": r, "sampling": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)}, init_batch, True,
+    ))(jax.random.PRNGKey(0))
+    try:
+        from flax.core import FrozenDict
+    except ImportError:  # flax >= 0.8 plain dicts
+        FrozenDict = dict
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    del init_state  # silence unused-import linters; eager path intentionally bypassed
     print(f"init: {time.time() - t0:.1f}s", flush=True)
     step = make_train_step(model, mesh=None, donate=True)
     key = jax.random.PRNGKey(42)
