@@ -11,9 +11,12 @@ provenance; its MEASURED stage table and MFU/HBM figures were fine):
 
 This version times every component DEVICE-SIDE via a lax.fori_loop slope:
     t_per_iter = (t(K_HI iters) - t(K_LO iters)) / (K_HI - K_LO)
-with a bf16*0 data dependency between iterations (not provably zero, so XLA
-can neither hoist nor CSE the body), which cancels launch latency and
-program-invariant overhead exactly. Components are the PRODUCTION ops on the
+with a full-sum consume of every output leaf plus a never-true (but not
+provably false) where() dependency between iterations — XLA can neither
+hoist, CSE, nor narrow the body (consuming only out[0] lets it shrink a
+gather to one row / drop dead sort operands, which is how v2.0 measured
+down4 at an impossible 1674 TF/s) — and the slope cancels launch latency
+and program-invariant overhead exactly. Components are the PRODUCTION ops on the
 REAL bench rulebooks/keys (sparse._gather_gemm on rbs['subm1'].idx, the
 builders themselves, lax.sort at voxelizer shape, dense-tail conv3d at its
 exact shapes, pool.voxel_query_multi on the real key sets), so index
@@ -70,29 +73,41 @@ def main():
     def sync(o):
         np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
 
-    def dep(x, scalar):
-        """Data-depend x on scalar via bf16*0 (not provably zero: bf16 NaN
-        semantics block algebraic simplification, so the loop body cannot be
-        hoisted or CSE'd across iterations)."""
-        z = (scalar.astype(jnp.bfloat16) * jnp.bfloat16(0)).astype(x.dtype)
-        return x + z
+    def consume(out):
+        """Full reduction over EVERY output leaf. Consuming only out[0]
+        lets XLA narrow the producer (a gather feeding a single-element
+        slice fetches ONE row; a variadic sort drops dead operands) -- the
+        v2.0 run measured the dense down4 conv at an impossible 1674 TF/s
+        this way. A sum forces every element to be produced and fuses into
+        the producer's epilogue (no extra HBM pass)."""
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    def dep(x, s):
+        """Loop-carry dependency on the consumed scalar via a never-true
+        (but not provably false) predicate: blocks hoisting/CSE/DCE without
+        arithmetic XLA could simplify away."""
+        pred = s > jnp.float32(3.0e38)
+        return jnp.where(pred, x + jnp.ones((), x.dtype), x)
 
     def loop_time(body, state):
-        """Device-side seconds per body() via fori_loop slope."""
+        """Device-side seconds per body() via fori_loop slope (launch
+        latency and program-invariant overhead cancel in the difference);
+        median over interleaved reps."""
         fns = {k: jax.jit(lambda s, k=k: lax.fori_loop(0, k, body, s))
                for k in (args.k_lo, args.k_hi)}
         for f in fns.values():
             sync(f(state))  # compile + warm
-        best = None
+        ests = []
         for _ in range(args.reps):
             ts = {}
-            for k, f in fns.items():
+            for k in (args.k_lo, args.k_hi):
                 t0 = time.perf_counter()
-                sync(f(state))
+                sync(fns[k](state))
                 ts[k] = time.perf_counter() - t0
-            est = (ts[args.k_hi] - ts[args.k_lo]) / (args.k_hi - args.k_lo)
-            best = est if best is None else min(best, est)
-        return best
+            ests.append((ts[args.k_hi] - ts[args.k_lo])
+                        / (args.k_hi - args.k_lo))
+        return float(np.median(ests))
 
     # ---- bench-identical model + frame --------------------------------
     model = VoxelRCNN(
@@ -169,7 +184,15 @@ def main():
     t_pred = timeit(lambda: pred(variables, batch))
 
     # ================= components ========================================
-    comp = {}
+    class PrintingDict(dict):
+        """Print each component as it lands so a late failure still leaves
+        the computed part of the table in the log."""
+
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(f"  [comp] {k:26s} {v*1e3:7.2f} ms", flush=True)
+
+    comp = PrintingDict()
 
     # ---- voxelizer: the 200k multi-operand sort is the irreducible core
     sk = jnp.asarray(rng.integers(0, 1 << 30, p), jnp.int32)
@@ -179,7 +202,7 @@ def main():
     def body_sort(i, st):
         k0, vs = st
         out = lax.sort((k0,) + vs, num_keys=1)
-        return dep(k0, out[1][0]), out[1:]
+        return dep(out[0], consume(out)), out[1:]
     comp["vox.sort200k"] = loop_time(body_sort, (sk, svs))
     # segment-sum + dedup scatter traffic (analytic): points read+write once
     # per phase, voxel table written once
@@ -199,8 +222,7 @@ def main():
     def builder_component(name, fn, kin):
         def body(i, k):
             out = fn(k)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return dep(k, leaf.ravel()[0])
+            return dep(k, consume(out))
         comp[name] = loop_time(body, kin)
 
     builder_component("books.lut0", lambda k: sparse.build_bitmap_lut_batched(
@@ -232,7 +254,7 @@ def main():
         def body(i, f):
             out = sparse._gather_gemm(f, idx, found, w, jnp.bfloat16,
                                       jnp.bfloat16, win_run=3)
-            return dep(f, out.ravel()[0])
+            return dep(f, consume(out))
         t1 = loop_time(body, f0)
         comp[name] = t1 * n_convs
         # GEMM-only at the same shape for the gather/GEMM split
@@ -243,7 +265,7 @@ def main():
         def body_g(i, ww):
             out = jax.lax.dot_general(a, ww, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.bfloat16)
-            return dep(ww, out[0, 0])
+            return dep(ww, consume(out))
         comp[name + ".gemm_only"] = loop_time(body_g, wg) * n_convs
         return t1
 
@@ -267,7 +289,7 @@ def main():
 
     def body_td(i, f):
         d = sparse.to_dense(f, k2[0], g2, 64)
-        return dep(f, d.ravel()[0])
+        return dep(f, consume(d))
     comp["tail.to_dense"] = loop_time(body_td, feats3)
 
     xd3 = jnp.asarray(rng.normal(0, 1, (1, g2.nz, g2.ny, g2.nx, 64)),
@@ -279,7 +301,7 @@ def main():
             xd3, w, (2, 2, 2), [(0, 0), (1, 1), (1, 1)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.bfloat16)
-        return dep(w, out.ravel()[0])
+        return dep(w, consume(out))
     comp["tail.down4"] = loop_time(body_d4, wd4)
     o4 = jax.eval_shape(lambda: jax.lax.conv_general_dilated(
         xd3, wd4, (2, 2, 2), [(0, 0), (1, 1), (1, 1)],
@@ -295,7 +317,7 @@ def main():
             xd4, w, (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.bfloat16)
-        return dep(w, out.ravel()[0])
+        return dep(w, consume(out))
     t_s4 = loop_time(body_s4, wd44)
     comp["tail.res4 (4x)"] = t_s4 * 4
     fl_s4 = 2 * int(np.prod(o4[:4])) * 27 * 128 * 128
@@ -307,7 +329,7 @@ def main():
             xd4, w, (2, 1, 1), [(0, 0), (0, 0), (0, 0)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.bfloat16)
-        return dep(w, out.ravel()[0])
+        return dep(w, consume(out))
     comp["tail.conv_out"] = loop_time(body_co, wco)
     fl_co = 2 * int(np.prod(o4[:4]) // 2) * 3 * 128 * 128
     # dense BN/mask/extraction traffic (analytic)
@@ -324,7 +346,7 @@ def main():
                 x2, ww, (stride, stride), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.bfloat16)
-            return dep(ww, out.ravel()[0])
+            return dep(ww, consume(out))
         comp[name] = loop_time(body, w2) * n
         return 2 * (h // stride) * (w_ // stride) * 9 * cin * cout * n
 
@@ -375,8 +397,7 @@ def main():
         def body_q(i, q):
             # unrolled_vmap matches the production b==1 squeezed lowering
             out = pool.unrolled_vmap(q_one, (q, kst, lut_s))
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return dep(q, leaf.ravel()[0])
+            return dep(q, consume(out))
         t_q = loop_time(body_q, queries)
         comp[f"roi.query_{name}"] = t_q
         q_total += t_q
@@ -386,7 +407,7 @@ def main():
 
         def body_g2(i, pr):
             out = pr[0][idxg[0]]
-            return dep(pr, out.ravel()[0])
+            return dep(pr, consume(out))
         comp[f"roi.group_{name}"] = loop_time(body_g2, pre) * 2
     # MLP + towers flops (analytic at measured-achievable 30 TF/s):
     q_n = n_roi * 216
