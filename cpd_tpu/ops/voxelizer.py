@@ -132,8 +132,17 @@ def voxelize(points, spec: VoxelizerSpec, valid=None,
     # sums and counts cost ONE (P,)-row scatter-add instead of two
     sorted_pts = jnp.stack(sorted_ops[2:], axis=-1)
     aug = jnp.concatenate([sorted_pts, jnp.ones((p_cap, 1), points.dtype)], axis=1)
+    # indices_are_sorted: with no per-voxel truncation, ``slot_clipped`` is
+    # monotone by construction (slot is a cumsum over sorted keys; the clip
+    # to the overflow bucket only ever moves it UP, and invalid points sort
+    # to the tail) -- the hint saves 0.5 ms of the 2.2 ms scatter-add on v5e
+    # (scripts/exp_r5_vox2.py). With max_points_per_voxel set, truncated
+    # points get the overflow bucket MID-sequence, the order breaks, and the
+    # hint would be unsound.
     sums = jax.ops.segment_sum(
-        jnp.where(point_ok[:, None], aug, 0.0), slot_clipped, num_segments=v_cap + 1
+        jnp.where(point_ok[:, None], aug, 0.0), slot_clipped,
+        num_segments=v_cap + 1,
+        indices_are_sorted=spec.max_points_per_voxel is None,
     )[:v_cap]
     counts = sums[:, -1].astype(jnp.int32)
     feats = sums[:, :-1] / jnp.maximum(counts[:, None], 1).astype(points.dtype)

@@ -13,7 +13,13 @@ Usage:
       --batch_size 4 [--points 200000] [--eval] [--no-train]
 
 The shapes must match the later run: batch size, point cap, and the model
-config's voxel/backbone caps (all read from the cfg).
+config's voxel/backbone caps (all read from the cfg) — AND ``--total_steps``
+must match the real run's ``len(train_loader) * epochs``: the onecycle
+schedule's constants are baked into the compiled HLO, so a program
+prewarmed for a different step count is a guaranteed cache MISS (measured:
+an otherwise-identical rerun with a different --steps recompiled for
+487 s where the exact-match rerun hit the cache and reached its first
+step in 158 s vs 684 s cold).
 """
 import argparse
 import sys
@@ -35,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true",
                    help="also prewarm the eval/predict program (batch 1)")
     p.add_argument("--no-train", action="store_true")
+    p.add_argument("--total_steps", type=int, default=1000,
+                   help="MUST equal the real run's len(train_loader)*epochs: "
+                        "the onecycle schedule constants are baked into the "
+                        "compiled program (a mismatch is a cache miss)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -89,9 +99,28 @@ def main(argv=None):
     if not args.no_train:
         batch = synthetic_batch(args.batch_size, args.points, seed=args.seed,
                                 with_proto=mm, pc_range=pc_range)
-        tx = build_optimizer(cfg.OPTIMIZATION, 1000)
+        tx = build_optimizer(cfg.OPTIMIZATION, args.total_steps)
         t0 = time.time()
-        state = init_state(model, batch, tx, rng=jax.random.PRNGKey(args.seed))
+        # jitted init on a batch-1 slice: eager flax init dispatches
+        # thousands of ops one-by-one over the axon tunnel; param shapes
+        # depend only on channels, so the slice is equivalent (bench.py)
+        import jax.numpy as jnp
+
+        from cpd_tpu.parallel.trainer import TrainState
+        init_batch = {k: v[:1] for k, v in batch.items()}
+        variables = jax.jit(lambda r: model.init(
+            {"params": r, "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, init_batch, True,
+        ))(jax.random.PRNGKey(args.seed))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            tx=tx,
+            apply_fn=model.apply,
+        )
+        del init_state  # eager path intentionally bypassed
         print(f"init: {time.time() - t0:.1f}s", flush=True)
         mesh = make_mesh()
         step = make_train_step(model, mesh)
@@ -111,10 +140,10 @@ def main(argv=None):
                                  with_proto=False, pc_range=pc_range)
         ebatch = {k: v for k, v in ebatch.items()
                   if k in ("points", "points_valid")}
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "sampling": jax.random.PRNGKey(1),
-             "dropout": jax.random.PRNGKey(2)}, ebatch, False)
+        variables = jax.jit(lambda r: model.init(
+            {"params": r, "sampling": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, ebatch, False))(
+                 jax.random.PRNGKey(0))
         predict = jax.jit(lambda v, x: model.apply(
             v, x, method=type(model).predict))
         t0 = time.time()
