@@ -19,7 +19,8 @@ Waymo occupancy at (0.1, 0.1, 0.15) voxels).
 Batch: default 1. RE-MEASURED round 5 (2026-08-21, v5e, with the round-4
 per-sample-unrolled gather lowerings and the audited 90k caps — both of
 which postdate the original round-2 finding): frames/s/chip = 8.15 (b=1)
-vs 7.05 (b=2) vs 6.82 (b=4). Batching still does NOT amortize: the
+vs 7.05 (b=2) vs 6.82 (b=4); 8.28 at b=1 after the r5 voxelizer
+sorted-scatter hint. Batching still does NOT amortize: the
 per-sample unroll makes b=N literally N sequential frame pipelines in one
 program, XLA does not overlap them (the phases contend for the same HBM
 path), and the extra live activations only add pressure. Batch 1 is the
